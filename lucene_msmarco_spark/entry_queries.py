@@ -1,0 +1,538 @@
+"""Driver-contract queries: one logical SQL text per operator, rendered for
+BOTH Spark SQL and DuckDB through a small dialect table — so the engine
+query and its correctness oracle are literally the same logic.
+
+These queries run against the driver's parquet fixtures
+(``/root/testdata/sf*/``: documents, embeddings, events, ...). They use the
+``simple`` analyzer (lowercase, ``[a-z0-9_]+``, stoplist, NO Porter) because
+DuckDB cannot run Porter stemming (FTS extension unavailable offline); the
+full ``english`` analyzer is covered by the pytest oracle suite and by
+``entry()``.
+
+Float-safety: every surfaced score is ``round(x, 4)`` and top-k ranking
+orders by the ROUNDED score (tie-broken by doc_id), so sub-ulp libm
+differences between JVM and DuckDB cannot flip ranks or hashes.
+
+Operator coverage (SURVEY.md §2 IDs in parens):
+  doc_lengths(X2) term_df(X3/S11) global_stats(X4/X8) bm25_topk(Q3/Q4)
+  lmdir_topk(Q5) lmjm_topk(Q6) tfidf_topk(Q7) trec_run(S9-shape)
+  eval_metrics(E1-E5) eval_summary(E6) qpp_nqc_avgidf(P1/P3)
+  bigram_top100(T5) plus training-data-pipeline ops: text_quality,
+  lang_id, doc_fingerprint, dedup_exact_prefix, dedup_minhash_lsh,
+  dedup_ngram_jaccard, dedup_simhash, ann_cosine_topk, events_hourly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .functions.analysis import stopwords
+
+# ---------------------------------------------------------------------------
+# fixed deterministic query set (terms drawn from the documents vocabulary)
+# ---------------------------------------------------------------------------
+QUERYSET: list[tuple[str, str]] = [
+    ("q1", "join hash merge"),
+    ("q2", "customer order line"),
+    ("q3", "the a of and"),               # stopwords only -> no results
+    ("q4", "spark spark window"),          # duplicate-token multiplicity
+    ("q5", "vector stream qqqzzz"),        # one OOV term
+    ("q6", "scan filter column batch row"),
+    ("q7", "data table"),
+    ("q8", "slow fast small big"),
+]
+
+_TABLES = ("documents", "embeddings", "events", "lineitem", "orders",
+           "customer", "supplier", "part", "nation", "region")
+
+
+def _dialect(d: str) -> dict[str, object]:
+    """Tiny dialect table covering every divergent construct we use."""
+    spark = d == "spark"
+    return {
+        # tokenize: lowered alnum runs (group 0)
+        "TOKENS": (lambda x: f"regexp_extract_all(lower({x}), '[a-z0-9_]+', 0)")
+        if spark
+        else (lambda x: f"regexp_extract_all(lower({x}), '[a-z0-9_]+')"),
+        # T2 number folding, global replace
+        "FOLD": (
+            lambda x: f"regexp_replace({x}, '(-)?\\\\d+(\\\\.\\\\d*)?', ' _NUM_ ')"
+        )
+        if spark
+        else (
+            lambda x: f"regexp_replace({x}, '(-)?\\d+(\\.\\d*)?', ' _NUM_ ', 'g')"
+        ),
+        "EXPLODE": (lambda x: f"explode({x})") if spark else (lambda x: f"unnest({x})"),
+        "SPLIT_WS": (lambda x: f"split({x}, ' ')") if spark
+        else (lambda x: f"string_split({x}, ' ')"),
+        "LEN": (lambda x: f"size({x})") if spark else (lambda x: f"len({x})"),
+        # arr[i] with i being the 1-based position
+        "AT": (lambda a, i: f"{a}[{i} - 1]") if spark else (lambda a, i: f"{a}[{i}]"),
+        "SLICE": (lambda a, n: f"slice({a}, 1, {n})") if spark
+        else (lambda a, n: f"list_slice({a}, 1, {n})"),
+        "SORT": (lambda a: f"array_sort({a})") if spark
+        else (lambda a: f"list_sort({a})"),
+        "JOIN_ARR": (lambda a: f"array_join({a}, ' ')") if spark
+        else (lambda a: f"array_to_string({a}, ' ')"),
+        "MAP_I": (lambda rng, var, expr: f"transform({rng}, {var} -> {expr})")
+        if spark
+        else (lambda rng, var, expr: f"list_transform({rng}, {var} -> {expr})"),
+        # inclusive integer sequence a..b
+        "SEQ": (lambda a, b: f"sequence({a}, {b})") if spark
+        else (lambda a, b: f"range({a}, ({b}) + 1)"),
+        "DOT": (
+            lambda a, b: (
+                f"aggregate(zip_with(CAST({a} AS ARRAY<DOUBLE>), "
+                f"CAST({b} AS ARRAY<DOUBLE>), (x, y) -> x * y), "
+                f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+            )
+        )
+        if spark
+        else (
+            lambda a, b: (
+                f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+            )
+        ),
+        "COLLECT_DISTINCT": (lambda x: f"collect_set({x})") if spark
+        else (lambda x: f"list(DISTINCT {x})"),
+        "STR": (lambda x: f"CAST({x} AS STRING)") if spark
+        else (lambda x: f"CAST({x} AS VARCHAR)"),
+    }
+
+
+def _stoplist_cte(d: str) -> str:
+    sw = sorted(stopwords())
+    csv = "|".join(sw).replace("'", "''")
+    D = _dialect(d)
+    split = (
+        f"split('{csv}', '[|]')" if d == "spark" else f"string_split('{csv}', '|')"
+    )
+    return f"stopw AS (SELECT {D['EXPLODE'](split)} AS sw)"  # noqa: E501
+
+
+def _queries_cte() -> str:
+    vals = ", ".join(f"('{q}', '{t}')" for q, t in QUERYSET)
+    return f"queries AS (SELECT qid, qtext FROM (VALUES {vals}) AS q(qid, qtext))"
+
+
+def _ir_base(d: str, model_expr: str | None = None) -> str:
+    """Shared CTE chain: tokenize -> tf/doc_stats/term_stats/globals ->
+    query terms -> scored -> ranked (by ROUNDED score). ``model_expr``
+    replaces the per-hit weight formula (BM25 default)."""
+    D = _dialect(d)
+    bm25 = (
+        "ln(1 + (g.n_docs - df + 0.5) / (df + 0.5)) * tf * 1.9 "
+        "/ (tf + 0.9 * (1 - 0.4 + 0.4 * doclen / g.avgdl))"
+    )
+    weight = model_expr or bm25
+    return f"""
+WITH {_stoplist_cte(d)},
+{_queries_cte()},
+tok AS (
+  SELECT doc_id, {D['EXPLODE'](D['TOKENS'](D['FOLD']('text')))} AS term
+  FROM documents
+),
+tokf AS (
+  SELECT doc_id, term FROM tok WHERE term NOT IN (SELECT sw FROM stopw)
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tokf GROUP BY doc_id, term
+),
+dstats AS (
+  SELECT d.doc_id, CAST(COALESCE(SUM(t.tf), 0) AS BIGINT) AS doclen
+  FROM documents d LEFT JOIN tf t ON d.doc_id = t.doc_id
+  GROUP BY d.doc_id
+),
+tstats AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf
+  FROM tf GROUP BY term
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(AVG(doclen) AS DOUBLE) AS avgdl,
+         CAST(SUM(doclen) AS BIGINT) AS total_cf
+  FROM dstats
+),
+qtok AS (
+  SELECT qid, {D['EXPLODE'](D['TOKENS']('qtext'))} AS term FROM queries
+),
+qterms AS (
+  SELECT qid, term, CAST(COUNT(*) AS DOUBLE) AS qtf
+  FROM qtok WHERE term NOT IN (SELECT sw FROM stopw)
+  GROUP BY qid, term
+),
+hits AS (
+  SELECT q.qid, t.doc_id, q.qtf, t.tf, d.doclen, s.df, s.cf
+  FROM qterms q
+  JOIN tstats s ON q.term = s.term
+  JOIN tf t ON q.term = t.term
+  JOIN dstats d ON t.doc_id = d.doc_id
+),
+scored AS (
+  SELECT qid, doc_id, SUM(qtf * ({weight})) AS score
+  FROM hits CROSS JOIN g
+  GROUP BY qid, doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY round(score, 4) DESC, doc_id ASC
+         ) AS INT) AS rank,
+         round(score, 4) AS score
+  FROM scored
+)"""
+
+
+LMDIR = (
+    "greatest(ln(1 + tf / (1000.0 * cf / g.total_cf)) "
+    "+ ln(1000.0 / (doclen + 1000.0)), CAST(0 AS DOUBLE))"
+)
+LMJM = "ln(1 + 0.25 * (tf / doclen) * (g.n_docs / df))"
+TFIDF = "tf * ln(g.n_docs / df)"
+
+QRELS_CTE = """
+qrels AS (
+  SELECT qid, doc_id, rel FROM (
+    SELECT q.qid, d.doc_id,
+           CASE CAST((d.doc_id + CAST(substr(q.qid, 2) AS INT)) % 10 AS INT)
+             WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 1 ELSE 0 END AS rel
+    FROM documents d CROSS JOIN queries q
+  ) x WHERE rel > 0
+)"""
+
+EVAL_BODY = """
+run AS (SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 100),
+filled AS (
+  SELECT r.qid, r.doc_id, r.rank, COALESCE(s.rel, 0) AS rel
+  FROM run r LEFT JOIN qrels s ON r.qid = s.qid AND r.doc_id = s.doc_id
+),
+perdoc AS (
+  SELECT qid, rank, rel,
+         CASE WHEN rel >= 2 THEN 1 ELSE 0 END AS is_rel,
+         SUM(CASE WHEN rel >= 2 THEN 1 ELSE 0 END) OVER (
+           PARTITION BY qid ORDER BY rank
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum_rel,
+         CASE WHEN rank <= 100
+              THEN rel / (ln(1.0 + rank) / ln(2)) ELSE 0 END AS gain
+  FROM filled
+),
+qstats AS (
+  SELECT qid,
+         SUM(CASE WHEN rel >= 2 THEN 1 ELSE 0 END) AS num_rel,
+         COUNT(*) AS num_judged
+  FROM qrels GROUP BY qid
+),
+idcg AS (
+  SELECT qid, SUM(rel / (ln(1.0 + irank) / ln(2))) AS idcg FROM (
+    SELECT qid, rel,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC) AS irank
+    FROM qrels
+  ) x WHERE irank <= 100 GROUP BY qid
+),
+peragg AS (
+  SELECT qid,
+         SUM(CASE WHEN is_rel = 1
+                  THEN CAST(cum_rel AS DOUBLE) / rank ELSE 0 END) AS ap_num,
+         SUM(CASE WHEN rank <= 5 AND is_rel = 1 THEN 1 ELSE 0 END) AS rel_top5,
+         SUM(is_rel) AS num_rel_ret,
+         MAX(CASE WHEN rel > 0 THEN rank END) AS last_rel_rank,
+         SUM(gain) AS dcg
+  FROM perdoc GROUP BY qid
+),
+permetrics AS (
+  SELECT a.qid,
+         round(CASE WHEN s.num_rel > 0
+                    THEN a.ap_num / s.num_rel ELSE 0 END, 4) AS ap,
+         round(CAST(a.rel_top5 AS DOUBLE) / 5, 4) AS p_at_5,
+         round(CASE WHEN s.num_judged > 0
+                    THEN CAST(a.num_rel_ret AS DOUBLE) / s.num_judged
+                    ELSE 0 END, 4) AS recall,
+         round(CASE WHEN a.last_rel_rank IS NOT NULL
+                    THEN CAST(1 AS DOUBLE) / a.last_rel_rank
+                    ELSE CAST(0 AS DOUBLE) END, 4) AS rr,
+         round(CASE WHEN i.idcg IS NOT NULL AND i.idcg <> 0
+                    THEN a.dcg / i.idcg ELSE 0 END, 4) AS ndcg,
+         CASE WHEN s.num_judged > 0
+              THEN CAST(a.num_rel_ret AS DOUBLE) / s.num_judged
+              ELSE 0 END AS recall_raw,
+         CAST(a.num_rel_ret AS BIGINT) AS num_rel_ret
+  FROM peragg a
+  LEFT JOIN qstats s ON a.qid = s.qid
+  LEFT JOIN idcg i ON a.qid = i.qid
+)"""
+
+
+def _shingle_cte(d: str) -> str:
+    D = _dialect(d)
+    ws = "ws"
+    shingle = f"concat_ws(' ', {D['AT'](ws, 'i')}, {D['AT'](ws, 'i + 1')}, {D['AT'](ws, 'i + 2')})"
+    return f"""
+words AS (SELECT doc_id, {D['SPLIT_WS']('text')} AS ws FROM documents),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         {D['EXPLODE'](D['MAP_I'](D['SEQ']('1', D['LEN']('ws') + ' - 2'), 'i', shingle))} AS sh
+  FROM words WHERE {D['LEN']('ws')} >= 3
+)"""
+
+
+def _simhash_bits_sql(d: str) -> tuple[str, str]:
+    """(per-bit sum columns, signature combine expr) for a 16-bit SimHash
+    from the md5 nibbles of each term, tf-weighted."""
+    sums = []
+    combine = []
+    for b in range(16):
+        nib = f"instr('0123456789abcdef', substr(h, {b + 1}, 1)) - 1"
+        sums.append(
+            f"SUM(tf * (CASE WHEN ({nib}) % 2 = 1 THEN 1 ELSE -1 END)) AS s{b}"
+        )
+        combine.append(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)")
+    return ", ".join(sums), " + ".join(combine)
+
+
+# ---------------------------------------------------------------------------
+# query text builders: name -> {dialect -> sql}
+# ---------------------------------------------------------------------------
+
+def build_sql(name: str, d: str) -> str:
+    D = _dialect(d)
+    base = _ir_base(d)
+
+    if name == "doc_lengths":
+        return base + "\nSELECT doc_id, doclen FROM dstats ORDER BY doc_id"
+    if name == "term_df":
+        return base + "\nSELECT term, df, cf FROM tstats ORDER BY term"
+    if name == "global_stats":
+        return base + (
+            "\nSELECT n_docs, round(avgdl, 6) AS avgdl, total_cf FROM g"
+        )
+    if name == "bm25_topk":
+        return base + (
+            "\nSELECT qid, doc_id, rank, score FROM ranked "
+            "WHERE rank <= 10 ORDER BY qid, rank"
+        )
+    if name == "lmdir_topk":
+        return _ir_base(d, LMDIR) + (
+            "\nSELECT qid, doc_id, rank, score FROM ranked "
+            "WHERE rank <= 10 ORDER BY qid, rank"
+        )
+    if name == "lmjm_topk":
+        return _ir_base(d, LMJM) + (
+            "\nSELECT qid, doc_id, rank, score FROM ranked "
+            "WHERE rank <= 10 ORDER BY qid, rank"
+        )
+    if name == "tfidf_topk":
+        return _ir_base(d, TFIDF) + (
+            "\nSELECT qid, doc_id, rank, score FROM ranked "
+            "WHERE rank <= 10 ORDER BY qid, rank"
+        )
+    if name == "trec_run":
+        # S9 shape: the 6 columns of a TREC res line (string formatting
+        # itself is locale/rounding-sensitive, tested in pytest instead)
+        return base + (
+            f"\nSELECT qid, 'Q0' AS iter, {D['STR']('doc_id')} AS docid, "
+            "rank, score, 'lms' AS runname "
+            "FROM ranked WHERE rank <= 10 ORDER BY qid, rank"
+        )
+    if name == "eval_metrics":
+        return (
+            base + "," + QRELS_CTE + "," + EVAL_BODY
+            + "\nSELECT qid, ap, p_at_5, recall, rr, ndcg, num_rel_ret "
+              "FROM permetrics ORDER BY qid"
+        )
+    if name == "eval_summary":
+        return (
+            base + "," + QRELS_CTE + "," + EVAL_BODY
+            + """
+SELECT round(SUM(recall_raw) / (SELECT COUNT(*) FROM qrels), 6) AS recall_quirk,
+       round(AVG(ap), 4) AS map,
+       round(AVG(p_at_5), 4) AS p_at_5,
+       round(AVG(ndcg), 4) AS ndcg_100
+FROM permetrics"""
+        )
+    if name == "qpp_nqc_avgidf":
+        return (
+            base + ","
+            + """
+run AS (SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 100),
+aidf AS (
+  SELECT q.qid, AVG(ln(CAST(g.n_docs AS DOUBLE) / s.df)) AS avgidf
+  FROM qterms q JOIN tstats s ON q.term = s.term CROSS JOIN g
+  GROUP BY q.qid
+),
+nqc AS (
+  SELECT qid, var_pop(score) AS v FROM run WHERE rank <= 50 GROUP BY qid
+)
+SELECT a.qid, round(a.avgidf, 4) AS avgidf,
+       round(COALESCE(n.v, 0) * a.avgidf, 4) AS nqc
+FROM aidf a LEFT JOIN nqc n ON a.qid = n.qid
+ORDER BY a.qid"""
+        )
+    if name == "bigram_top100":
+        # T5 analog: unordered within-doc term pairs, global top-100
+        return base + (
+            """,
+dterms AS (SELECT DISTINCT doc_id, term FROM tokf),
+pairs AS (
+  SELECT a.term AS t1, b.term AS t2, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM dterms a JOIN dterms b
+    ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+)
+SELECT t1, t2, freq FROM pairs
+ORDER BY freq DESC, t1, t2 LIMIT 100"""
+        )
+    if name == "text_quality":
+        return base + (
+            """,
+q AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         SUM(CASE WHEN w.sw IS NOT NULL THEN 1 ELSE 0 END) AS n_stop,
+         AVG(CAST(length(term) AS DOUBLE)) AS avg_len
+  FROM tok LEFT JOIN stopw w ON tok.term = w.sw GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+       round(avg_len, 4) AS avg_token_len,
+       round(ln(1.0 + n_tokens) * (1 - CAST(n_stop AS DOUBLE) / n_tokens), 4)
+         AS quality
+FROM q ORDER BY doc_id"""
+        )
+    if name == "lang_id":
+        return base + (
+            """,
+q AS (
+  SELECT doc_id,
+         SUM(CASE WHEN w.sw IS NOT NULL THEN 1 ELSE 0 END) AS n_stop,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM tok LEFT JOIN stopw w ON tok.term = w.sw GROUP BY doc_id
+)
+SELECT doc_id,
+       CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens > 0.03
+            THEN 'en' ELSE 'unk' END AS pred_lang
+FROM q ORDER BY doc_id"""
+        )
+    if name == "doc_fingerprint":
+        return base + (
+            f""",
+q AS (
+  SELECT doc_id,
+         md5({D['JOIN_ARR'](D['SORT'](D['COLLECT_DISTINCT']('term')))}) AS fp
+  FROM tokf GROUP BY doc_id
+)
+SELECT doc_id, fp FROM q ORDER BY doc_id"""
+        )
+    if name == "dedup_exact_prefix":
+        fp = f"md5({D['JOIN_ARR'](D['SLICE'](D['SPLIT_WS']('text'), 8))})"
+        return f"""
+SELECT fp, CAST(COUNT(*) AS BIGINT) AS cnt, MIN(doc_id) AS rep
+FROM (SELECT doc_id, {fp} AS fp FROM documents) x
+GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp"""
+    if name == "dedup_minhash_lsh":
+        seeds = ", ".join(f"({s})" for s in range(8))
+        str_s = D["STR"]("s")
+        return f"""
+WITH {_shingle_cte(d)[1:]},
+seeds AS (SELECT s FROM (VALUES {seeds}) AS t(s)),
+sigs AS (
+  SELECT doc_id, s, MIN(md5({str_s} || ':' || sh)) AS mh
+  FROM shingles CROSS JOIN seeds GROUP BY doc_id, s
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets
+FROM sigs a JOIN sigs b
+  ON a.s = b.s AND a.mh = b.mh AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id ORDER BY doc_a, doc_b"""
+    if name == "dedup_ngram_jaccard":
+        return f"""
+WITH {_shingle_cte(d)[1:]},
+shc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM shingles a JOIN shingles b
+    ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) AS jaccard
+FROM inter
+JOIN shc ca ON doc_a = ca.doc_id
+JOIN shc cb ON doc_b = cb.doc_id
+ORDER BY CAST(i AS DOUBLE) / (ca.n + cb.n - i) DESC, doc_a, doc_b
+LIMIT 100"""
+    if name == "dedup_simhash":
+        sums, combine = _simhash_bits_sql(d)
+        return base + f""",
+tnib AS (SELECT doc_id, tf, md5(term) AS h FROM tf),
+bits AS (SELECT doc_id, {sums} FROM tnib GROUP BY doc_id)
+SELECT doc_id, CAST({combine} AS BIGINT) AS simhash
+FROM bits ORDER BY doc_id"""
+    if name == "ann_cosine_topk":
+        dot_ab = D["DOT"]("a.embedding", "b.embedding")
+        dot_aa = D["DOT"]("a.embedding", "a.embedding")
+        dot_bb = D["DOT"]("b.embedding", "b.embedding")
+        return f"""
+WITH sims AS (
+  SELECT a.vec_id AS qvec, b.vec_id AS nvec,
+         {dot_ab} / (sqrt({dot_aa}) * sqrt({dot_bb})) AS sim
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 5
+),
+ranked AS (
+  SELECT qvec, nvec,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY qvec ORDER BY sim DESC, nvec ASC
+         ) AS INT) AS rank,
+         round(sim, 4) AS sim
+  FROM sims
+)
+SELECT qvec, nvec, rank, sim FROM ranked WHERE rank <= 5
+ORDER BY qvec, rank"""
+    if name == "events_hourly":
+        return """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(AVG(value), 4) AS avg_value,
+       round(SUM(value), 4) AS sum_value
+FROM events GROUP BY date_trunc('hour', ts), event_type
+ORDER BY hour, event_type"""
+    raise KeyError(name)
+
+
+QUERY_NAMES = [
+    "doc_lengths", "term_df", "global_stats",
+    "bm25_topk", "lmdir_topk", "lmjm_topk", "tfidf_topk", "trec_run",
+    "eval_metrics", "eval_summary", "qpp_nqc_avgidf", "bigram_top100",
+    "text_quality", "lang_id", "doc_fingerprint",
+    "dedup_exact_prefix", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "ann_cosine_topk", "events_hourly",
+]
+
+
+def _register_views(spark: SparkSession, sf_dir: str) -> None:
+    import os
+
+    for t in _TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            spark.read.parquet(p).createOrReplaceTempView(t)
+
+
+def make_spark_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register_views(spark, sf_dir)
+        return spark.sql(build_sql(name, "spark"))
+
+    run.__name__ = f"query_{name}"
+    return run
+
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {n: make_spark_query(n) for n in QUERY_NAMES}
+
+
+def duckdb_oracles() -> dict[str, str]:
+    return {n: build_sql(n, "duckdb") for n in QUERY_NAMES}

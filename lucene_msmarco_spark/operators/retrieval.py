@@ -132,15 +132,30 @@ def search(
 ) -> DataFrame:
     """Q3 — batch top-k search. Returns (qid, doc_id, rank, score)."""
     k = k or cfg.num_wanted
+    scored = score_queries(
+        index, queries, model, cfg, analyzer=analyzer,
+        precompiled_terms=precompiled_terms,
+    )
+    return topk(scored, k, strategy=strategy).select(
+        "qid", "doc_id", "rank", "score"
+    )
+
+
+def score_queries(
+    index: InvertedIndex,
+    queries: DataFrame | None,
+    model: str = "bm25",
+    cfg: EngineConfig = EngineConfig(),
+    analyzer: str | None = None,
+    precompiled_terms: DataFrame | None = None,
+) -> DataFrame:
+    """Exhaustive scoring without the top-k cut: (qid, doc_id, score)."""
     qt = (
         precompiled_terms
         if precompiled_terms is not None
         else compile_queries(queries, analyzer or index.analyzer)
     )
     contribs = score_contributions(index, qt, model, cfg)
-    scored = contribs.groupBy("qid", "doc_id").agg(
+    return contribs.groupBy("qid", "doc_id").agg(
         F.sum("contrib").alias("score")
-    )
-    return topk(scored, k, strategy=strategy).select(
-        "qid", "doc_id", "rank", "score"
     )
