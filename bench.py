@@ -49,6 +49,18 @@ def run_bench(master: str) -> dict:
 
     spark = build_session(app_name="lms-bench", master=master)
     timings: dict[str, float] = {}
+
+    # Warm-up: run the same plan shapes on a small slice first so JIT
+    # compilation / codegen / shuffle-service setup don't pollute the
+    # timed runs (observed 10-30s first-stage warmup on this JVM).
+    wtr = generate_transcripts(spark, n_turns=max(2000, N_BENCH_TURNS // 50),
+                               seed=7)
+    wdocs = assign_doc_ids(wtr, ["conv_id", "turn_idx"])
+    widx = build_index(wdocs, analyzer="english", cache=True)
+    wq = spark.createDataFrame([("w1", "warm up run")],
+                               "qid string, qtext string")
+    search(widx, wq, model="bm25", k=10, strategy="two_phase").count()
+
     t_all = time.time()
 
     # --- sf-table operator queries (shared SQL path) ---------------------

@@ -93,6 +93,13 @@ def assign_doc_ids(
     )
     w = Window.partitionBy("_pid").orderBy(*key_cols)
     local = parts.withColumn("_rn", F.row_number().over(w) - F.lit(1))
+    # CRITICAL: pin the physical partitioning before observing _pid.
+    # Without persist, the offsets-collect job and later jobs can be
+    # re-planned differently (AQE partition coalescing, range-sampling),
+    # shifting spark_partition_id values — the inner join on _pid below
+    # would then silently drop/mis-number rows. Persist makes every
+    # downstream job read the SAME evaluated partitions.
+    local = local.persist()
     sizes = (
         local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
         .orderBy("_pid")
@@ -113,6 +120,70 @@ def assign_doc_ids(
     )
 
 
+#: UAX#29-lite word pattern for the JVM fast path — java.util.regex with
+#: (?U) so \w covers unicode letters, mirroring the Python analyzer's
+#: ``_WORD_RE``.
+_JVM_WORD_PATTERN = r"(?U)\w+(?:['’.]\w+)*"
+_JVM_POSSESSIVE = r"['’][sS]$"
+
+
+def raw_token_counts(
+    docs: DataFrame, text_col: str = "text", fold_numbers: bool = True
+) -> DataFrame:
+    """JVM-only first stage of the english analyzer: UAX#29-lite tokenize,
+    possessive strip, lowercase -> (doc_id, raw, tf_raw). Stopword removal
+    and Porter stemming happen later at the VOCABULARY level (see
+    build_index) so no Python ever touches the token stream.
+
+    Perf notes: lowercase is applied ONCE per document before extraction
+    (the word pattern is case-blind after lowering), and the possessive
+    strip is plain right()/left() string ops — a per-token regexp_replace
+    costs ~20s per 6.5M tokens, the substring form is near-free."""
+    text = F.col(text_col)
+    if fold_numbers:
+        text = fold_numbers_col(text)
+    # lower once per doc (the injected ' _NUM_ ' marker lowers to '_num_',
+    # matching the per-token LowerCaseFilter in the UDF path)
+    text = F.lower(text)
+    toks = F.regexp_extract_all(text, F.lit(_JVM_WORD_PATTERN), 0)
+    # EnglishPossessiveFilter: strip trailing 's / ’s (already lowercased)
+    raw = F.when(
+        F.col("tok").endswith("'s") | F.col("tok").endswith("’s"),
+        F.expr("substring(tok, 1, length(tok) - 2)"),
+    ).otherwise(F.col("tok"))
+    return (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .select("doc_id", raw.alias("raw"))
+        .filter(F.col("raw") != "")
+        .groupBy("doc_id", "raw")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf_raw"))
+    )
+
+
+_stem_vocab_udf = None
+
+
+def _stem_vocab(col):
+    """pandas UDF over DISTINCT raw token types: returns the Porter stem,
+    or NULL for stopwords (which drops the row on inner join)."""
+    global _stem_vocab_udf
+    if _stem_vocab_udf is None:
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import StringType
+
+        from ..functions.analysis import stopwords
+        from ..functions.porter import porter_stem
+
+        def go(raws):
+            stops = stopwords()
+            return raws.map(
+                lambda r: None if (not r or r in stops) else porter_stem(r)
+            )
+
+        _stem_vocab_udf = pandas_udf(go, StringType())
+    return _stem_vocab_udf(col)
+
+
 def tokenize_docs(
     docs: DataFrame,
     text_col: str = "text",
@@ -120,6 +191,8 @@ def tokenize_docs(
     fold_numbers: bool = True,
 ) -> DataFrame:
     """(doc_id, term) exploded token stream — one row per token occurrence.
+    Used by tests and small flows; build_index uses the aggregated
+    dictionary path below for the english analyzer.
 
     Doc-side number folding (T2) is applied before tokenization when
     ``fold_numbers`` (the reference folds docs but not queries — quirk
@@ -144,19 +217,63 @@ def tokenize_docs(
     return out
 
 
+def _tf_english_fast(
+    docs: DataFrame, text_col: str, fold_numbers: bool
+) -> DataFrame:
+    """Vocabulary-dictionary english analysis (the 100TB-scale path):
+
+    1. JVM regex tokenize + possessive + lower, partial-aggregated
+       (doc_id, raw, tf_raw) — the only pass over the token stream, fully
+       inside whole-stage codegen (a map task sees a doc's tokens
+       contiguously, so most pairs combine map-side before the shuffle).
+    2. Porter-stem the DISTINCT raw vocabulary with an Arrow UDF —
+       O(|vocab|) Python rows, independent of corpus size; stopwords map
+       to NULL.
+    3. Broadcast the dictionary back onto the tf table; inner join drops
+       stopwords; re-aggregate because distinct raws can share a stem
+       (e.g. "running"/"runs" -> "run", summing like Lucene does when the
+       filter chain emits equal terms).
+    """
+    # raw_tf feeds two consumers (vocabulary extraction + the dictionary
+    # join); persist so the token-stream pass runs exactly once. At true
+    # cluster scale this stage would instead be written as a checkpointed
+    # parquet stage (see streaming/incremental.py manifest design).
+    raw_tf = raw_token_counts(docs, text_col, fold_numbers).persist()
+    vocab = raw_tf.select("raw").distinct()
+    dictionary = vocab.select(
+        "raw", _stem_vocab(F.col("raw")).alias("term")
+    ).filter(F.col("term").isNotNull())
+    stemmed = raw_tf.join(F.broadcast(dictionary), "raw")
+    return stemmed.groupBy("doc_id", "term").agg(
+        F.sum("tf_raw").alias("tf")
+    )
+
+
 def build_index(
     docs: DataFrame,
     text_col: str = "text",
     analyzer: str = "english",
     fold_numbers: bool = True,
     cache: bool = True,
+    english_strategy: str = "dictionary",
 ) -> InvertedIndex:
-    """docs must already carry a ``doc_id`` column (use assign_doc_ids)."""
-    occurrences = tokenize_docs(docs, text_col, analyzer, fold_numbers)
+    """docs must already carry a ``doc_id`` column (use assign_doc_ids).
 
-    tf = occurrences.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
-    )
+    ``english_strategy``: "dictionary" (default, JVM token stream + vocab
+    stemming — the scale path) or "udf" (Arrow UDF per document — the
+    reference implementation both are tested equal against)."""
+    if analyzer == "english" and english_strategy == "dictionary":
+        tf = _tf_english_fast(docs, text_col, fold_numbers)
+    else:
+        occurrences = tokenize_docs(docs, text_col, analyzer, fold_numbers)
+        tf = occurrences.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).cast("long").alias("tf")
+        )
+    # tokenization is the expensive pass; pin it so the three derived
+    # artifacts (doc_stats, term_stats, tokens) each read the evaluated tf
+    # instead of re-running the analyzer chain 3-4x.
+    if cache:
+        tf = tf.persist()
     # doclen = post-analysis token count (Lucene norm semantics: the number
     # of terms the analysis chain emits, after stopword removal —
     # MsMarcoIndexer.java:142 setOmitNorms(false)). Docs whose text
