@@ -5,10 +5,22 @@ Default mode: runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
 line ``{"metric", "value", "unit", "queries", "sf", ...}``.
 
-``--scaling`` mode: runs the same jobs at local[8] and local[32] on
-identical input (each in its own subprocess/JVM) and appends throughput +
-scaling efficiency to BENCH/BASELINE.md (sandbox protocol for the north
-rule's N vs 4N executors criterion).
+``--scaling`` mode — the sandbox protocol for the north rule's "N vs 4N
+executors, efficiency >= 0.8" criterion: the SAME two jobs (inverted-index
+build; batch BM25 top-100 search) run over the SAME pre-generated parquet
+input at two parallelism levels (default local[8] and local[32]; override
+with LMS_SCALING_SMALL/LMS_SCALING_BIG), each in its own JVM. Efficiency
+= (rate_big / rate_small) / (big/small). Results appended to
+BENCH/BASELINE.md.
+
+Design notes for honest scaling measurement:
+- the input is on-disk parquet generated ONCE (generation is Python-heavy
+  and not part of the engine's work);
+- each timed phase starts after a warm-up that exercises the same plan
+  shapes (JIT/codegen/Arrow Python-worker startup are one-time session
+  costs a long-running cluster would have amortized);
+- timed work is dominated by wide parallel stages (tokenize+aggregate;
+  postings-join scoring) rather than driver-side collects.
 """
 
 from __future__ import annotations
@@ -24,8 +36,12 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_BENCH_TURNS = int(os.environ.get("LMS_BENCH_TURNS", "100000"))
-N_BENCH_QUERIES = int(os.environ.get("LMS_BENCH_QUERIES", "200"))
+N_BENCH_TURNS = int(os.environ.get("LMS_BENCH_TURNS", "200000"))
+N_SCALING_TURNS = int(os.environ.get("LMS_SCALING_TURNS", "600000"))
+N_BENCH_QUERIES = int(os.environ.get("LMS_BENCH_QUERIES", "512"))
+SCALING_SMALL = int(os.environ.get("LMS_SCALING_SMALL", "8"))
+SCALING_BIG = int(os.environ.get("LMS_SCALING_BIG", "32"))
+SCRATCH = os.path.join(REPO, ".scratch")
 
 
 def _sf_label(sf_dir: str) -> float:
@@ -35,68 +51,113 @@ def _sf_label(sf_dir: str) -> float:
         return -1.0
 
 
-def run_bench(master: str) -> dict:
-    from pyspark.sql import functions as F
+def _input_path(n_turns: int) -> str:
+    return os.path.join(SCRATCH, f"bench_input_{n_turns}")
 
-    from lucene_msmarco_spark import entry_queries
+
+def ensure_input(n_turns: int) -> str:
+    """Generate the deterministic transcript corpus once, on disk."""
+    path = _input_path(n_turns)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    from lucene_msmarco_spark.session import build_session
+    from lucene_msmarco_spark.sources.transcripts import generate_transcripts
+
+    spark = build_session(app_name="lms-bench-gen", master="local[32]",
+                          shuffle_partitions=32)
+    tr = generate_transcripts(spark, n_turns=n_turns, seed=42,
+                              num_partitions=128)
+    tr.write.mode("overwrite").parquet(path)
+    spark.stop()
+    return path
+
+
+def _query_set(n: int) -> list[tuple[str, str]]:
+    """Deterministic 3-term queries drawn from the synthetic Zipf vocab
+    (no dependence on the built index)."""
+    import numpy as np
+
+    from lucene_msmarco_spark.sources.transcripts import _vocab
+
+    vocab = _vocab(42)
+    rng = np.random.default_rng(20260817)
+    ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
+    probs = ranks ** -1.1
+    probs /= probs.sum()
+    cdf = np.cumsum(probs)
+    rows = []
+    for i in range(n):
+        idxs = np.searchsorted(cdf, rng.random(3))
+        rows.append((f"q{i}", " ".join(vocab[j] for j in idxs)))
+    return rows
+
+
+def _bench_engine(spark, input_path: str, n_queries: int,
+                  timings: dict) -> dict:
     from lucene_msmarco_spark.operators.index import (
         assign_doc_ids,
         build_index,
     )
     from lucene_msmarco_spark.operators.retrieval import search
-    from lucene_msmarco_spark.session import build_session
     from lucene_msmarco_spark.sources.transcripts import generate_transcripts
 
-    spark = build_session(app_name="lms-bench", master=master)
-    timings: dict[str, float] = {}
-
-    # Warm-up: run the same plan shapes on a small slice first so JIT
-    # compilation / codegen / shuffle-service setup don't pollute the
-    # timed runs (observed 10-30s first-stage warmup on this JVM).
-    wtr = generate_transcripts(spark, n_turns=max(2000, N_BENCH_TURNS // 50),
-                               seed=7)
+    # ---- warm-up: same plan shapes on a small slice --------------------
+    wtr = generate_transcripts(spark, n_turns=4000, seed=7)
     wdocs = assign_doc_ids(wtr, ["conv_id", "turn_idx"])
     widx = build_index(wdocs, analyzer="english", cache=True)
-    wq = spark.createDataFrame([("w1", "warm up run")],
-                               "qid string, qtext string")
+    wq = spark.createDataFrame(
+        _query_set(8), "qid string, qtext string"
+    )
     search(widx, wq, model="bm25", k=10, strategy="two_phase").count()
+    widx.tokens.unpersist()
 
-    t_all = time.time()
+    n_turns = int(input_path.rsplit("_", 1)[-1])
 
-    # --- sf-table operator queries (shared SQL path) ---------------------
-    for name in ("bm25_topk", "eval_metrics", "dedup_minhash_lsh",
-                 "ann_cosine_topk", "text_quality"):
-        q = entry_queries.make_spark_query(name)
-        t0 = time.time()
-        q(spark, SF_DIR).count()  # materialize
-        timings[name] = round(time.time() - t0, 3)
-
-    # --- engine path on synthetic transcripts ----------------------------
+    # ---- timed job 1: inverted-index build -----------------------------
     t0 = time.time()
-    tr = generate_transcripts(spark, n_turns=N_BENCH_TURNS, seed=42)
+    tr = spark.read.parquet(input_path)
     docs = assign_doc_ids(tr, ["conv_id", "turn_idx"])
     idx = build_index(docs, analyzer="english", cache=True)
-    # force full materialization of the index artifacts
-    idx.tokens.count()
-    idx.term_stats.count()
+    idx.tokens.count()          # materialize postings-level artifact
     index_sec = time.time() - t0
     timings["index_build"] = round(index_sec, 3)
 
-    # batch query set drawn from hot corpus terms (deterministic)
-    top_terms = [
-        r["term"]
-        for r in idx.term_stats.orderBy(F.desc("df"), "term")
-        .limit(3 * N_BENCH_QUERIES).collect()
-    ]
-    qrows = [
-        (f"q{i}", " ".join(top_terms[3 * i : 3 * i + 3]))
-        for i in range(N_BENCH_QUERIES)
-    ]
-    qdf = spark.createDataFrame(qrows, "qid string, qtext string")
+    # ---- timed job 2: batch top-k search -------------------------------
+    qdf = spark.createDataFrame(
+        _query_set(n_queries), "qid string, qtext string"
+    )
     t0 = time.time()
     search(idx, qdf, model="bm25", k=100, strategy="two_phase").count()
     query_sec = time.time() - t0
     timings["batch_search"] = round(query_sec, 3)
+
+    return {
+        "index_turns_per_sec": round(n_turns / index_sec, 1),
+        "queries_per_sec": round(n_queries / query_sec, 1),
+    }
+
+
+def run_bench(master: str, input_path: str | None = None,
+              with_sf_queries: bool = True) -> dict:
+    from lucene_msmarco_spark import entry_queries
+    from lucene_msmarco_spark.session import build_session
+
+    if input_path is None:
+        input_path = ensure_input(N_BENCH_TURNS)
+
+    spark = build_session(app_name="lms-bench", master=master)
+    timings: dict[str, float] = {}
+    t_all = time.time()
+
+    if with_sf_queries:
+        for name in ("bm25_topk", "eval_metrics", "dedup_minhash_lsh",
+                     "ann_cosine_topk", "text_quality"):
+            q = entry_queries.make_spark_query(name)
+            t0 = time.time()
+            q(spark, SF_DIR).count()
+            timings[name] = round(time.time() - t0, 3)
+
+    throughput = _bench_engine(spark, input_path, N_BENCH_QUERIES, timings)
 
     total = round(time.time() - t_all, 3)
     out = {
@@ -106,47 +167,54 @@ def run_bench(master: str) -> dict:
         "queries": timings,
         "sf": _sf_label(SF_DIR),
         "master": master,
-        "throughput": {
-            "index_turns_per_sec": round(N_BENCH_TURNS / index_sec, 1),
-            "queries_per_sec": round(N_BENCH_QUERIES / query_sec, 1),
-        },
+        "n_turns": int(input_path.rsplit("_", 1)[-1]),
+        "throughput": throughput,
     }
     spark.stop()
     return out
 
 
 def scaling() -> None:
+    input_path = ensure_input(N_SCALING_TURNS)
     results = {}
-    for n in (8, 32):
+    for n in (SCALING_SMALL, SCALING_BIG):
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(n))
         p = subprocess.run(
-            [sys.executable, __file__, "--master", f"local[{n}]"],
+            [sys.executable, __file__, "--master", f"local[{n}]",
+             "--input", input_path, "--engine-only"],
             capture_output=True, text=True, env=env, cwd=REPO,
         )
-        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
-        results[n] = json.loads(line)
-    r8, r32 = results[8], results[32]
+        lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+        if not lines:
+            sys.stderr.write(p.stdout + "\n" + p.stderr)
+            raise SystemExit("scaling subprocess produced no JSON")
+        results[n] = json.loads(lines[-1])
+    r_s, r_b = results[SCALING_SMALL], results[SCALING_BIG]
+    factor = SCALING_BIG / SCALING_SMALL
     eff_idx = (
-        r32["throughput"]["index_turns_per_sec"]
-        / r8["throughput"]["index_turns_per_sec"] / 4
+        r_b["throughput"]["index_turns_per_sec"]
+        / r_s["throughput"]["index_turns_per_sec"] / factor
     )
     eff_q = (
-        r32["throughput"]["queries_per_sec"]
-        / r8["throughput"]["queries_per_sec"] / 4
+        r_b["throughput"]["queries_per_sec"]
+        / r_s["throughput"]["queries_per_sec"] / factor
     )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
         f.write(
-            f"\n## Scaling run ({N_BENCH_TURNS} turns, {N_BENCH_QUERIES} "
-            f"queries, sf-dir {SF_DIR})\n\n"
+            f"\n## Scaling run ({N_SCALING_TURNS} turns, "
+            f"{N_BENCH_QUERIES} queries, same parquet input, "
+            f"local[{SCALING_SMALL}] vs local[{SCALING_BIG}])\n\n"
             "| parallelism | index turns/sec | queries/sec |\n"
             "|---|---|---|\n"
-            f"| local[8] | {r8['throughput']['index_turns_per_sec']} | "
-            f"{r8['throughput']['queries_per_sec']} |\n"
-            f"| local[32] | {r32['throughput']['index_turns_per_sec']} | "
-            f"{r32['throughput']['queries_per_sec']} |\n\n"
-            f"- scaling efficiency (index build, (rate32/rate8)/4): "
-            f"**{eff_idx:.3f}**\n"
+            f"| local[{SCALING_SMALL}] | "
+            f"{r_s['throughput']['index_turns_per_sec']} | "
+            f"{r_s['throughput']['queries_per_sec']} |\n"
+            f"| local[{SCALING_BIG}] | "
+            f"{r_b['throughput']['index_turns_per_sec']} | "
+            f"{r_b['throughput']['queries_per_sec']} |\n\n"
+            f"- scaling efficiency (index build, (rate_big/rate_small)/"
+            f"{factor:.0f}): **{eff_idx:.3f}**\n"
             f"- scaling efficiency (batch query): **{eff_q:.3f}**\n"
         )
     print(json.dumps({
@@ -155,8 +223,8 @@ def scaling() -> None:
         "unit": "ratio",
         "index_efficiency": round(eff_idx, 3),
         "query_efficiency": round(eff_q, 3),
-        "local8": r8["throughput"],
-        "local32": r32["throughput"],
+        f"local{SCALING_SMALL}": r_s["throughput"],
+        f"local{SCALING_BIG}": r_b["throughput"],
     }))
 
 
@@ -168,7 +236,11 @@ def main() -> None:
     master = f"local[{CPUS}]"
     if "--master" in args:
         master = args[args.index("--master") + 1]
-    print(json.dumps(run_bench(master)))
+    input_path = None
+    if "--input" in args:
+        input_path = args[args.index("--input") + 1]
+    with_sf = "--engine-only" not in args
+    print(json.dumps(run_bench(master, input_path, with_sf)))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,435 @@
+"""Compressed posting-list segments + Block-Max-WAND query fast path.
+
+The engine's native analog of the Lucene index files the reference relies
+on (created at ``indexing/MsMarcoIndexer.java:54-59``, searched through
+``retrieval/OneStepRetriever.java:117``):
+
+    postings(term, df, cf,
+             doc_blob, tf_blob, len_blob,      -- varint streams
+             block_size, n_entries,
+             block_last,                       -- last doc id per block
+             block_max_tf, block_min_dl)       -- block-max impact bounds
+
+Per term, postings are sorted by ``doc_id``, delta-encoded and varint-
+compressed (functions/varint.py) in fixed-size blocks. Instead of storing
+a block-max *score* (which would bake k1/b/avgdl into the index), each
+block stores ``(max tf, min doclen)`` — the two monotone drivers of the
+BM25 impact ``tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))`` — so a valid
+block-max score bound is derivable at query time for ANY (k1, b, avgdl).
+This mirrors Lucene 8's per-block ``(freq, norm)`` impact pairs (the
+mechanism behind the Block-Max WAND used by ``searcher.search(q, k)``).
+
+Build is the north rule's salted repartition-by-term:
+
+    stage 1  tokens ─ salt hot terms (df > threshold) by doc hash ─▶
+             groupBy(term, salt) → applyInPandas encode → partial segments
+    stage 2  hot-term partials groupBy(term) → decode+merge+re-encode
+             (Lucene segment-merge analog); cold terms pass through
+
+so no single task ever materializes more than ``df_threshold`` postings
+of a Zipf-head term in stage 1, and stage 2 tasks are one-per-hot-term.
+
+Query side:
+- ``postings_to_tokens`` — exhaustive decode back to (term, doc_id, tf,
+  doclen) rows; ``decode(encode(x)) == x`` is the round-trip test and
+  makes every DataFrame scoring path runnable off the compact index.
+- ``bmw_search`` — doc-at-a-time WAND with block-max skipping inside an
+  Arrow-batched ``applyInPandas`` per query group; result-identical
+  (docs + ranks, scores to float tolerance) to the exhaustive path, which
+  stays the default: the safe-pruning property means both return the
+  same top-k (SURVEY.md §4 BMW row).
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import BM25Config
+from ..functions.varint import (
+    delta_decode,
+    delta_encode,
+    varint_decode,
+    varint_encode,
+)
+from .index import GlobalStats, InvertedIndex
+
+POSTINGS_SCHEMA = (
+    "term string, df long, cf long, "
+    "doc_blob binary, tf_blob binary, len_blob binary, "
+    "block_size int, n_entries long, "
+    "block_last array<long>, block_max_tf array<int>, block_min_dl array<int>"
+)
+
+_PARTIAL_SCHEMA = "salt int, " + POSTINGS_SCHEMA
+
+DEFAULT_BLOCK_SIZE = 128
+
+
+# ---------------------------------------------------------------------------
+# encode / decode
+# ---------------------------------------------------------------------------
+
+def _encode_arrays(
+    docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray, block_size: int
+) -> tuple:
+    """Sorted-by-doc arrays -> one postings row's storage fields."""
+    n = docs.size
+    n_blocks = (n + block_size - 1) // block_size
+    pad = n_blocks * block_size - n
+    # block stats via reshape over a padded copy
+    tf_pad = np.concatenate([tfs, np.zeros(pad, dtype=tfs.dtype)])
+    dl_pad = np.concatenate([dls, np.full(pad, 2**31 - 1, dtype=np.int64)])
+    bmax_tf = tf_pad.reshape(n_blocks, block_size).max(axis=1)
+    bmin_dl = dl_pad.reshape(n_blocks, block_size).min(axis=1)
+    block_last = docs[np.minimum(
+        np.arange(1, n_blocks + 1) * block_size - 1, n - 1
+    )]
+    return (
+        varint_encode(delta_encode(docs)),
+        varint_encode(tfs),
+        varint_encode(dls),
+        block_size,
+        int(n),
+        block_last.astype(np.int64).tolist(),
+        bmax_tf.astype(np.int32).tolist(),
+        bmin_dl.astype(np.int64).astype(np.int32).tolist(),
+    )
+
+
+def _decode_row(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Postings row -> (docids, tfs, doclens), sorted by doc id."""
+    n = int(row.n_entries)
+    docs = delta_decode(varint_decode(bytes(row.doc_blob), n))
+    tfs = varint_decode(bytes(row.tf_blob), n)
+    dls = varint_decode(bytes(row.len_blob), n)
+    return docs, tfs, dls
+
+
+def _make_encoder(block_size: int, with_salt: bool):
+    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["doc_id"].values, kind="stable")
+        docs = pdf["doc_id"].values[order].astype(np.int64)
+        tfs = pdf["tf"].values[order].astype(np.int64)
+        dls = pdf["doclen"].values[order].astype(np.int64)
+        fields = _encode_arrays(docs, tfs, dls, block_size)
+        row = (key[0], int(docs.size), int(tfs.sum()), *fields)
+        cols = POSTINGS_SCHEMA
+        if with_salt:
+            row = (int(key[1]), *row)
+            cols = _PARTIAL_SCHEMA
+        names = [c.split(" ")[0] for c in cols.split(", ")]
+        return pd.DataFrame([row], columns=names)
+
+    return encode
+
+
+def _make_merger(block_size: int):
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        parts = [_decode_row(r) for r in pdf.itertuples()]
+        docs = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        dls = np.concatenate([p[2] for p in parts])
+        order = np.argsort(docs, kind="stable")
+        docs, tfs, dls = docs[order], tfs[order], dls[order]
+        fields = _encode_arrays(docs, tfs, dls, block_size)
+        names = [c.split(" ")[0] for c in POSTINGS_SCHEMA.split(", ")]
+        return pd.DataFrame(
+            [(key[0], int(docs.size), int(tfs.sum()), *fields)], columns=names
+        )
+
+    return merge
+
+
+def encode_postings(
+    tokens: DataFrame,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    salt_df_threshold: int = 250_000,
+    n_salts: int = 32,
+) -> DataFrame:
+    """tokens(term, doc_id, tf, doclen) -> compressed postings table.
+
+    Hot terms (df > ``salt_df_threshold``) are built as ``n_salts``
+    partial segments keyed by doc-hash and merged in a second stage; the
+    per-task memory bound is therefore ~``salt_df_threshold`` postings
+    regardless of term skew (SURVEY.md §7.3 #3).
+    """
+    df_by_term = tokens.groupBy("term").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    hot = df_by_term.filter(F.col("_df") > salt_df_threshold).select(
+        "term", F.lit(True).alias("_hot")
+    )
+    salted = tokens.join(F.broadcast(hot), "term", "left").withColumn(
+        "salt",
+        F.when(
+            F.col("_hot").isNotNull(),
+            F.pmod(F.hash(F.col("doc_id")), F.lit(n_salts)),
+        ).otherwise(F.lit(0)).cast("int"),
+    ).drop("_hot")
+
+    partials = salted.groupBy("term", "salt").applyInPandas(
+        _make_encoder(block_size, with_salt=True), schema=_PARTIAL_SCHEMA
+    )
+    # cold terms produced exactly one partial (salt 0, no hot join hit);
+    # route hot terms through the merge stage
+    hot_terms = hot.select("term")
+    cold_final = partials.join(
+        F.broadcast(hot_terms), "term", "left_anti"
+    ).drop("salt")
+    hot_final = (
+        partials.join(F.broadcast(hot_terms), "term", "left_semi")
+        .groupBy("term")
+        .applyInPandas(_make_merger(block_size), schema=POSTINGS_SCHEMA)
+    )
+    return cold_final.unionByName(hot_final)
+
+
+def postings_to_tokens(postings: DataFrame) -> DataFrame:
+    """Exhaustive decode: postings -> (term, doc_id, tf, doclen) rows."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_t, out_d, out_tf, out_dl = [], [], [], []
+            for r in pdf.itertuples():
+                docs, tfs, dls = _decode_row(r)
+                out_t.append(np.repeat(r.term, docs.size))
+                out_d.append(docs)
+                out_tf.append(tfs)
+                out_dl.append(dls)
+            if not out_t:
+                continue
+            yield pd.DataFrame({
+                "term": np.concatenate(out_t),
+                "doc_id": np.concatenate(out_d),
+                "tf": np.concatenate(out_tf),
+                "doclen": np.concatenate(out_dl),
+            })
+
+    return postings.mapInPandas(
+        decode, schema="term string, doc_id long, tf long, doclen long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# compact index facade
+# ---------------------------------------------------------------------------
+
+@dataclass
+class CompactIndex:
+    """Posting-blob index + the broadcastable stats — the shippable,
+    Iceberg/parquet-persistable artifact (vs InvertedIndex's row-level
+    tokens table)."""
+
+    postings: DataFrame
+    stats: GlobalStats
+    analyzer: str = "english"
+
+    @classmethod
+    def from_index(
+        cls, idx: InvertedIndex, block_size: int = DEFAULT_BLOCK_SIZE,
+        salt_df_threshold: int = 250_000, n_salts: int = 32,
+    ) -> "CompactIndex":
+        return cls(
+            postings=encode_postings(
+                idx.tokens, block_size, salt_df_threshold, n_salts
+            ),
+            stats=idx.stats,
+            analyzer=idx.analyzer,
+        )
+
+    def to_inverted_index(self, docs: DataFrame | None = None) -> InvertedIndex:
+        """Rehydrate the DataFrame-level index from the blobs (query paths
+        that want plain joins run unchanged off the compact form)."""
+        tokens = postings_to_tokens(self.postings)
+        doc_stats = tokens.groupBy("doc_id").agg(
+            F.first("doclen").alias("doclen")
+        )
+        term_stats = self.postings.select("term", "df", "cf")
+        return InvertedIndex(
+            docs=docs, tokens=tokens, doc_stats=doc_stats,
+            term_stats=term_stats, stats=self.stats, analyzer=self.analyzer,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Block-Max WAND
+# ---------------------------------------------------------------------------
+
+class _Cursor:
+    __slots__ = ("docs", "tfs", "dls", "block_last", "bmax_tf", "bmin_dl",
+                 "idf", "qw", "pos", "block_size", "ub")
+
+    def __init__(self, row, idf: float, qw: float):
+        self.docs, self.tfs, self.dls = _decode_row(row)
+        self.block_last = np.asarray(row.block_last, dtype=np.int64)
+        self.bmax_tf = np.asarray(row.block_max_tf, dtype=np.int64)
+        self.bmin_dl = np.asarray(row.block_min_dl, dtype=np.int64)
+        self.block_size = int(row.block_size)
+        self.idf = idf
+        self.qw = qw
+        self.pos = 0
+        self.ub = 0.0  # set by caller (global upper bound)
+
+    def doc(self) -> int:
+        return int(self.docs[self.pos])
+
+    def exhausted(self) -> bool:
+        return self.pos >= self.docs.size
+
+    def advance_to(self, target: int) -> None:
+        self.pos += int(
+            np.searchsorted(self.docs[self.pos:], target, side="left")
+        )
+
+    def cur_block(self) -> int:
+        return int(np.searchsorted(self.block_last, self.doc(), side="left"))
+
+
+def _impact(tf: float, dl: float, k1: float, b: float, avgdl: float) -> float:
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def _wand_one_query(
+    rows: list, k: int, k1: float, b: float, avgdl: float, n_docs: float
+) -> list[tuple[int, float]]:
+    """rows: postings rows with .qw (query multiplicity x boost). Returns
+    [(doc_id, score)] of the exact top-k under (score desc, doc asc)."""
+    cursors: list[_Cursor] = []
+    for r in rows:
+        idf = math.log(1.0 + (n_docs - r.df + 0.5) / (r.df + 0.5))
+        c = _Cursor(r, idf, float(r.qw))
+        if c.docs.size:
+            c.ub = c.qw * idf * float(
+                np.max([
+                    _impact(float(t), float(d), k1, b, avgdl)
+                    for t, d in zip(c.bmax_tf, c.bmin_dl)
+                ])
+            )
+            cursors.append(c)
+    heap: list[tuple[float, int]] = []  # (score, -doc): min-heap of top-k
+
+    def theta() -> float:
+        return heap[0][0] if len(heap) >= k else float("-inf")
+
+    live = [c for c in cursors if not c.exhausted()]
+    while live:
+        live.sort(key=lambda c: c.doc())
+        # pivot: smallest prefix whose summed UBs could beat theta
+        acc, pivot = 0.0, -1
+        for i, c in enumerate(live):
+            acc += c.ub
+            if acc >= theta():
+                pivot = i
+                break
+        if pivot < 0:
+            break
+        pivot_doc = live[pivot].doc()
+        # extend the prefix to EVERY cursor sitting on pivot_doc — their
+        # block maxes belong in the bound, and the skip range below must
+        # not jump them (multi-term pivot-doc correctness)
+        ext = pivot
+        while ext + 1 < len(live) and live[ext + 1].doc() == pivot_doc:
+            ext += 1
+        if live[0].doc() == pivot_doc:
+            # block-max refinement over the (extended) pivot prefix
+            bub = 0.0
+            min_block_end = None
+            for c in live[: ext + 1]:
+                bi = c.cur_block()
+                bub += c.qw * c.idf * _impact(
+                    float(c.bmax_tf[bi]), float(c.bmin_dl[bi]), k1, b, avgdl
+                )
+                be = int(c.block_last[bi])
+                min_block_end = be if min_block_end is None else min(
+                    min_block_end, be
+                )
+            if len(heap) >= k and bub < theta():
+                # the aligned block region [pivot_doc, min_block_end]
+                # can't compete — but only for docs no cursor BEYOND the
+                # prefix could contribute to, so cap the jump at the next
+                # cursor's current doc (Ding & Suel BMW candidate rule)
+                target = min_block_end + 1
+                if ext + 1 < len(live):
+                    target = min(target, live[ext + 1].doc())
+                target = max(target, pivot_doc + 1)
+                for c in live[: ext + 1]:
+                    if c.doc() < target:
+                        c.advance_to(target)
+            else:
+                score = 0.0
+                for c in live:
+                    if c.doc() != pivot_doc:
+                        break
+                    score += c.qw * c.idf * _impact(
+                        float(c.tfs[c.pos]), float(c.dls[c.pos]), k1, b,
+                        avgdl,
+                    )
+                item = (score, -pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                else:
+                    heapq.heappushpop(heap, item)
+                for c in live:
+                    if c.doc() != pivot_doc:
+                        break
+                    c.pos += 1
+        else:
+            live[0].advance_to(pivot_doc)
+        live = [c for c in live if not c.exhausted()]
+    out = sorted(heap, key=lambda it: (-it[0], -it[1]))
+    return [(-d, s) for s, d in out]
+
+
+def bmw_search(
+    compact: CompactIndex,
+    query_terms: DataFrame,
+    k: int = 100,
+    cfg: BM25Config = BM25Config(),
+) -> DataFrame:
+    """BM25 top-k via Block-Max WAND over the compressed postings.
+
+    ``query_terms``: (qid, term, qtf[, weight]) — the compiled query bag
+    (operators/retrieval.compile_queries). One ``applyInPandas`` group per
+    qid; within a group the WAND cursors skip whole blocks whose summed
+    block-max bounds cannot enter the current top-k (safe pruning: output
+    is identical to exhaustive scoring). Returns (qid, doc_id, rank,
+    score).
+
+    Scale shape: the postings⨝query-terms join broadcasts the tiny query
+    bag; only matching term rows shuffle (grouped by qid), so shuffle
+    volume is Σ_q Σ_t |postings(t)| *blobs* (compressed), not decoded
+    rows.
+    """
+    qt = query_terms
+    if "weight" not in qt.columns:
+        qt = qt.withColumn("weight", F.lit(1.0))
+    qt = qt.withColumn(
+        "qw", (F.col("qtf") * F.col("weight")).cast("double")
+    ).select("qid", "term", "qw")
+    joined = compact.postings.join(F.broadcast(qt), "term")
+
+    s = compact.stats
+    k1, b, avgdl, n_docs = cfg.k1, cfg.b, s.avgdl, float(s.n_docs)
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        hits = _wand_one_query(
+            list(pdf.itertuples()), k, k1, b, avgdl, n_docs
+        )
+        return pd.DataFrame({
+            "qid": np.repeat(key[0], len(hits)),
+            "doc_id": np.array([d for d, _ in hits], dtype=np.int64),
+            "rank": np.arange(1, len(hits) + 1, dtype=np.int32),
+            "score": np.array([sc for _, sc in hits], dtype=np.float64),
+        })
+
+    return joined.groupBy("qid").applyInPandas(
+        run, schema="qid string, doc_id long, rank int, score double"
+    )

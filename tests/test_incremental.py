@@ -1,0 +1,184 @@
+"""Checkpoint-resumable staged build + streaming incremental ingest."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_msmarco_spark.operators.postings import postings_to_tokens
+from lucene_msmarco_spark.sources.transcripts import (
+    generate_transcripts,
+    transcripts_local,
+)
+from lucene_msmarco_spark.streaming.incremental import (
+    BuildConfig,
+    IncrementalIngest,
+    IndexBuildPipeline,
+    input_fingerprint,
+)
+
+N = 200
+
+
+@pytest.fixture(scope="module")
+def input_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("pipeline") / "input")
+    generate_transcripts(spark, n_turns=N, seed=42,
+                         num_partitions=4).write.parquet(p)
+    return p
+
+
+def test_pipeline_runs_and_records_lineage(spark, input_path, tmp_path):
+    out = str(tmp_path / "index")
+    pipe = IndexBuildPipeline(spark, input_path, out)
+    manifest = pipe.run()
+    assert set(manifest) >= {
+        "doc_ids", "tokens_tf", "doc_stats", "term_stats", "postings"
+    }
+    assert manifest["_executed"]["stages"] == [
+        "doc_ids", "tokens_tf", "doc_stats", "term_stats", "postings"
+    ]
+    for stage in ("doc_ids", "tokens_tf", "postings"):
+        row = manifest[stage]
+        assert row["rows"] > 0
+        assert sum(p["rows"] for p in row["partitions"]) == row["rows"]
+        assert os.path.exists(os.path.join(out, stage, "_SUCCESS"))
+    # doc_stats covers every input row
+    assert manifest["doc_stats"]["rows"] == N
+
+
+def test_pipeline_resume_skips_completed(spark, input_path, tmp_path):
+    out = str(tmp_path / "index")
+    p1 = IndexBuildPipeline(spark, input_path, out)
+    m1 = p1.run()
+    assert len(m1["_executed"]["stages"]) == 5
+    # fresh pipeline object = process restart; nothing should re-run
+    p2 = IndexBuildPipeline(spark, input_path, out)
+    m2 = p2.run()
+    assert m2["_executed"]["stages"] == []
+
+
+def test_pipeline_resume_after_partial_kill(spark, input_path, tmp_path):
+    out = str(tmp_path / "index")
+    pipe = IndexBuildPipeline(spark, input_path, out)
+    full_manifest = pipe.run()
+    # simulate a kill after stage 2 by dropping later manifest rows +
+    # stage outputs
+    rows = []
+    with open(pipe.manifest_path) as f:
+        for line in f:
+            r = json.loads(line)
+            if r["stage"] in ("doc_ids", "tokens_tf"):
+                rows.append(line)
+    with open(pipe.manifest_path, "w") as f:
+        f.writelines(rows)
+    import shutil
+
+    for stage in ("doc_stats", "term_stats", "postings"):
+        shutil.rmtree(os.path.join(out, stage))
+
+    m = IndexBuildPipeline(spark, input_path, out).run()
+    assert m["_executed"]["stages"] == [
+        "doc_stats", "term_stats", "postings"
+    ]
+    # identical row counts to the uninterrupted build
+    for stage in ("doc_stats", "term_stats", "postings"):
+        assert m[stage]["rows"] == full_manifest[stage]["rows"]
+
+
+def test_config_change_invalidates(spark, input_path, tmp_path):
+    out = str(tmp_path / "index")
+    IndexBuildPipeline(spark, input_path, out).run()
+    m = IndexBuildPipeline(
+        spark, input_path, out, BuildConfig(analyzer="whitespace")
+    ).run()
+    assert len(m["_executed"]["stages"]) == 5
+
+
+def test_input_fingerprint_changes_with_data(tmp_path):
+    d = tmp_path / "data"
+    d.mkdir()
+    (d / "a.parquet").write_bytes(b"xx")
+    f1 = input_fingerprint(str(d))
+    (d / "b.parquet").write_bytes(b"yy")
+    assert input_fingerprint(str(d)) != f1
+
+
+def test_stage_outputs_match_direct_build(spark, input_path, tmp_path):
+    from lucene_msmarco_spark.operators.index import (
+        assign_doc_ids,
+        build_index,
+    )
+
+    out = str(tmp_path / "index")
+    IndexBuildPipeline(spark, input_path, out).run()
+    tokens_pipe = (
+        spark.read.parquet(os.path.join(out, "tokens_tf"))
+        .toPandas().sort_values(["term", "doc_id"]).reset_index(drop=True)
+    )
+    docs = assign_doc_ids(spark.read.parquet(input_path),
+                          ["conv_id", "turn_idx"])
+    idx = build_index(docs, analyzer="english", cache=False)
+    tokens_direct = (
+        idx.tokens.toPandas()
+        .sort_values(["term", "doc_id"]).reset_index(drop=True)
+    )
+    assert (tokens_pipe["term"].values == tokens_direct["term"].values).all()
+    assert (tokens_pipe["tf"].values == tokens_direct["tf"].values).all()
+    # postings stage decodes back to the tokens stage exactly
+    post = spark.read.parquet(os.path.join(out, "postings"))
+    back = (
+        postings_to_tokens(post).toPandas()
+        .sort_values(["term", "doc_id"]).reset_index(drop=True)
+    )
+    assert (back["tf"].values == tokens_pipe["tf"].values).all()
+    assert (back["doclen"].values == tokens_pipe["doclen"].values).all()
+
+
+def _land(spark, pdf, src, tmp, name):
+    """Write one parquet FILE into the landing dir (file-stream source
+    does not recurse into write.parquet output dirs)."""
+    import glob
+    import shutil
+
+    from lucene_msmarco_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+    staging = str(tmp / f"_stage_{name}")
+    spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA).coalesce(1) \
+        .write.parquet(staging, mode="overwrite")
+    part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+    shutil.move(part, str(src / f"{name}.parquet"))
+
+
+def test_incremental_ingest_and_merge(spark, tmp_path):
+    src = tmp_path / "landing"
+    src.mkdir()
+    work = str(tmp_path / "work")
+
+    pdf_all = transcripts_local(120, seed=42)
+
+    _land(spark, pdf_all.iloc[:60], src, tmp_path, "f1")
+    ing = IncrementalIngest(spark, str(src), work)
+    n1 = ing.ingest_available()
+    assert n1 >= 1
+
+    _land(spark, pdf_all.iloc[60:], src, tmp_path, "f2")
+    n2 = ing.ingest_available()
+    assert n2 >= 1
+
+    # third run: nothing new
+    assert ing.ingest_available() == 0
+
+    merged = ing.merge_segments()
+    toks = postings_to_tokens(merged)
+    n_docs_seen = toks.select("doc_id").distinct().count()
+    # docs whose text analyzed to zero tokens don't appear in postings
+    assert 100 <= n_docs_seen <= 120
+    # df consistency on the merged table
+    chk = merged.select("term", "df").join(
+        toks.groupBy("term").agg(F.count(F.lit(1)).alias("df2")), "term"
+    ).filter(F.col("df") != F.col("df2"))
+    assert chk.count() == 0

@@ -1,0 +1,246 @@
+"""Compressed postings segments (varint/delta/block-max) + BMW fast path.
+
+Gates per SURVEY.md §4: (a) ``decode(encode(x)) == x``; (b) the salted
+two-stage build is result-identical to unsalted; (c) BMW returns the
+same top-k docs/ranks as exhaustive DataFrame scoring (safe pruning);
+(d) retrieval re-run from blobs matches retrieval from the tokens table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lucene_msmarco_spark.config import BM25Config
+from lucene_msmarco_spark.functions.varint import (
+    delta_decode,
+    delta_encode,
+    varint_decode,
+    varint_encode,
+)
+from lucene_msmarco_spark.operators.index import assign_doc_ids, build_index
+from lucene_msmarco_spark.operators.postings import (
+    CompactIndex,
+    bmw_search,
+    encode_postings,
+    postings_to_tokens,
+)
+from lucene_msmarco_spark.operators.retrieval import compile_queries, search
+from lucene_msmarco_spark.sources.transcripts import transcripts_local
+
+N_TURNS = 400
+
+QUERIES = [
+    ("q1", "ricufex kekegra report"),
+    ("q2", "yacuv biripol yacuv"),
+    ("q3", "zedzedwi rigrasto bicubi cugramo"),
+    ("q4", "the and of"),
+    ("q5", "tamori polgrake verlu"),
+]
+
+
+# ---------------------------------------------------------------------------
+# codec unit tests
+# ---------------------------------------------------------------------------
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**41), max_size=200)
+)
+@settings(max_examples=60, deadline=None)
+def test_varint_roundtrip(vals):
+    arr = np.array(vals, dtype=np.int64)
+    assert np.array_equal(varint_decode(varint_encode(arr)),
+                          arr) or arr.size == 0
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**40),
+        min_size=1, max_size=200, unique=True,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_delta_roundtrip(vals):
+    arr = np.array(sorted(vals), dtype=np.int64)
+    assert np.array_equal(delta_decode(delta_encode(arr)), arr)
+
+
+def test_wand_matches_brute_force_randomized():
+    """Driver-side property test: random corpora/queries, tiny blocks (so
+    skipping logic is exercised hard), exact top-k equality."""
+    import math
+
+    from lucene_msmarco_spark.operators.postings import (
+        _encode_arrays,
+        _wand_one_query,
+    )
+
+    rng = np.random.default_rng(1234)
+    k1, b = 0.9, 0.4
+    for trial in range(25):
+        n_docs = int(rng.integers(30, 200))
+        n_terms = int(rng.integers(1, 6))
+        doclens = rng.integers(5, 120, size=n_docs)
+        avgdl = float(doclens.mean())
+        rows, brute = [], {}
+        for t in range(n_terms):
+            df = int(rng.integers(1, n_docs + 1))
+            docs = np.sort(rng.choice(n_docs, size=df, replace=False))
+            tfs = rng.integers(1, 6, size=df)
+            dls = doclens[docs]
+            qw = float(rng.integers(1, 3))
+            idf = math.log(1 + (n_docs - df + 0.5) / (df + 0.5))
+            for d, tf, dl in zip(docs, tfs, dls):
+                w = idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * dl / avgdl)
+                )
+                brute[d] = brute.get(int(d), 0.0) + qw * w
+
+            class R:
+                pass
+
+            r = R()
+            (r.doc_blob, r.tf_blob, r.len_blob, r.block_size,
+             r.n_entries, r.block_last, r.block_max_tf,
+             r.block_min_dl) = _encode_arrays(
+                docs.astype(np.int64), tfs.astype(np.int64),
+                dls.astype(np.int64), int(rng.integers(2, 9)),
+            )
+            r.df = df
+            r.qw = qw
+            rows.append(r)
+        k = int(rng.integers(1, 30))
+        expect = sorted(brute.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        got = _wand_one_query(rows, k, k1, b, avgdl, float(n_docs))
+        assert [d for d, _ in got] == [d for d, _ in expect], (
+            f"trial {trial}"
+        )
+        for (gd, gs), (ed, es) in zip(got, expect):
+            assert abs(gs - es) <= 1e-9 * max(1.0, abs(es))
+
+
+def test_varint_known_bytes():
+    assert varint_encode(np.array([0])) == b"\x00"
+    assert varint_encode(np.array([127])) == b"\x7f"
+    assert varint_encode(np.array([128])) == b"\x80\x01"
+    assert varint_encode(np.array([300])) == b"\xac\x02"
+
+
+# ---------------------------------------------------------------------------
+# Spark fixtures
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    pdf = transcripts_local(N_TURNS, seed=42)
+    sdf = spark.createDataFrame(pdf)
+    docs = assign_doc_ids(sdf, ["conv_id", "turn_idx"])
+    return build_index(docs, analyzer="english")
+
+
+@pytest.fixture(scope="module")
+def tokens_pd(idx):
+    return (
+        idx.tokens.toPandas()
+        .sort_values(["term", "doc_id"])
+        .reset_index(drop=True)
+    )
+
+
+def test_postings_roundtrip(idx, tokens_pd):
+    enc = encode_postings(idx.tokens, block_size=16)
+    back = (
+        postings_to_tokens(enc).toPandas()
+        .sort_values(["term", "doc_id"]).reset_index(drop=True)
+    )
+    assert len(back) == len(tokens_pd)
+    assert (back["term"].values == tokens_pd["term"].values).all()
+    assert (back["doc_id"].values == tokens_pd["doc_id"].values).all()
+    assert (back["tf"].values == tokens_pd["tf"].values).all()
+    assert (back["doclen"].values == tokens_pd["doclen"].values).all()
+
+
+def test_salted_build_identical(idx, tokens_pd):
+    """Force EVERY term through the salted partial+merge path."""
+    enc = encode_postings(
+        idx.tokens, block_size=16, salt_df_threshold=0, n_salts=4
+    )
+    back = (
+        postings_to_tokens(enc).toPandas()
+        .sort_values(["term", "doc_id"]).reset_index(drop=True)
+    )
+    assert (back["doc_id"].values == tokens_pd["doc_id"].values).all()
+    assert (back["tf"].values == tokens_pd["tf"].values).all()
+    # df/cf on the merged rows must match the tokens-level truth
+    enc_pd = enc.toPandas().set_index("term")
+    truth = tokens_pd.groupby("term").agg(
+        df=("doc_id", "count"), cf=("tf", "sum")
+    )
+    for term, row in truth.iterrows():
+        assert enc_pd.loc[term, "df"] == row["df"]
+        assert enc_pd.loc[term, "cf"] == row["cf"]
+
+
+def test_block_stats_are_valid_bounds(idx):
+    enc = encode_postings(idx.tokens, block_size=8).toPandas()
+    back = {r.term: r for r in enc.itertuples()}
+    toks = idx.tokens.toPandas()
+    for term, grp in toks.groupby("term"):
+        r = back[term]
+        grp = grp.sort_values("doc_id")
+        tfs = grp["tf"].values
+        dls = grp["doclen"].values
+        bs = r.block_size
+        for bi in range(len(r.block_last)):
+            lo, hi = bi * bs, min((bi + 1) * bs, len(tfs))
+            assert r.block_max_tf[bi] == tfs[lo:hi].max()
+            assert r.block_min_dl[bi] == dls[lo:hi].min()
+            assert r.block_last[bi] == grp["doc_id"].values[hi - 1]
+
+
+# ---------------------------------------------------------------------------
+# retrieval equality
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def compact(idx):
+    return CompactIndex.from_index(idx, block_size=16)
+
+
+def _runs_equal(a, b, score_tol=1e-9):
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert (ra["qid"], ra["doc_id"], ra["rank"]) == (
+            rb["qid"], rb["doc_id"], rb["rank"]
+        )
+        assert abs(ra["score"] - rb["score"]) <= score_tol * max(
+            1.0, abs(ra["score"])
+        )
+
+
+@pytest.mark.parametrize("k", [3, 10, 50])
+def test_bmw_equals_exhaustive(spark, idx, compact, k):
+    qdf = spark.createDataFrame(QUERIES, "qid string, qtext string")
+    cfg = BM25Config(k1=0.9, b=0.4)
+    exact = (
+        search(idx, qdf, model="bm25", k=k)
+        .orderBy("qid", "rank").collect()
+    )
+    qt = compile_queries(qdf, analyzer="english")
+    bmw = (
+        bmw_search(compact, qt, k=k, cfg=cfg)
+        .orderBy("qid", "rank").collect()
+    )
+    _runs_equal(exact, bmw)
+
+
+def test_search_from_rehydrated_blobs(spark, idx, compact):
+    qdf = spark.createDataFrame(QUERIES, "qid string, qtext string")
+    exact = search(idx, qdf, model="bm25", k=20).orderBy(
+        "qid", "rank").collect()
+    re_idx = compact.to_inverted_index()
+    redone = search(re_idx, qdf, model="bm25", k=20).orderBy(
+        "qid", "rank").collect()
+    _runs_equal(exact, redone)
