@@ -1,0 +1,220 @@
+"""Command-line drivers mirroring the reference's shell entry points
+(``index.sh``, ``retrieve.sh``, ``jm.sh``, ``gensparsevecs.sh``,
+``printfdbkterms.sh`` in /root/reference) — the ``spark-submit
+--py-files`` deployment shape:
+
+    spark-submit --py-files lucene_msmarco_spark.zip -m lucene_msmarco_spark.cli ...
+    # or locally:
+    python -m lucene_msmarco_spark.cli index --input transcripts/ --out idx/
+    python -m lucene_msmarco_spark.cli retrieve --index idx/ \
+        --queries queries.tsv --model bm25 --k 100 --out run.res
+    python -m lucene_msmarco_spark.cli evaluate --res run.res --qrels qrels.txt
+    python -m lucene_msmarco_spark.cli qpp --index idx/ --queries queries.tsv \
+        --res run.res --predictor nqc
+    python -m lucene_msmarco_spark.cli sparsevecs --index idx/ --out vecs/
+
+The index directory is an ``IndexBuildPipeline`` output (manifest +
+doc_ids/tokens_tf/doc_stats/term_stats/postings parquet stages) — i.e.
+builds are checkpoint-resumable: rerunning ``index`` resumes after a
+kill.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _spark(args) -> SparkSession:
+    """Reuse an already-active session (pytest / notebook) without owning
+    it; otherwise build one and own its lifecycle."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        args._owns_spark = False
+        return active
+    from .session import build_session
+
+    args._owns_spark = True
+    return build_session(
+        app_name=f"lms-{args.cmd}",
+        master=getattr(args, "master", None),
+    )
+
+
+def _stop(args, spark: SparkSession) -> None:
+    if getattr(args, "_owns_spark", False):
+        spark.stop()
+
+
+def load_pipeline_index(spark: SparkSession, index_dir: str):
+    """Rehydrate an InvertedIndex from an IndexBuildPipeline output."""
+    from .operators.index import GlobalStats, InvertedIndex
+
+    docs = spark.read.parquet(f"{index_dir}/doc_ids")
+    tokens = spark.read.parquet(f"{index_dir}/tokens_tf")
+    doc_stats = spark.read.parquet(f"{index_dir}/doc_stats")
+    term_stats = spark.read.parquet(f"{index_dir}/term_stats")
+    row = doc_stats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("doclen").alias("avgdl"),
+        F.sum("doclen").alias("cf"),
+    ).collect()[0]
+    stats = GlobalStats(
+        n_docs=int(row["n"]),
+        avgdl=float(row["avgdl"] or 0.0),
+        total_cf=int(row["cf"] or 0),
+    )
+    return InvertedIndex(
+        docs=docs, tokens=tokens, doc_stats=doc_stats,
+        term_stats=term_stats, stats=stats,
+    )
+
+
+def cmd_index(args) -> None:
+    from .streaming.incremental import BuildConfig, IndexBuildPipeline
+
+    spark = _spark(args)
+    pipe = IndexBuildPipeline(
+        spark, args.input, args.out,
+        BuildConfig(analyzer=args.analyzer),
+    )
+    manifest = pipe.run(resume=not args.no_resume)
+    executed = manifest.pop("_executed")["stages"]
+    print(json.dumps({
+        "executed_stages": executed,
+        "rows": {k: v["rows"] for k, v in manifest.items()},
+    }))
+    _stop(args, spark)
+
+
+def cmd_retrieve(args) -> None:
+    from .operators.retrieval import search
+    from .sources.readers import read_queries_tsv
+    from .sources.writers import write_trec_run
+
+    spark = _spark(args)
+    idx = load_pipeline_index(spark, args.index)
+    queries = read_queries_tsv(spark, args.queries)
+    run = search(idx, queries, model=args.model, k=args.k)
+    write_trec_run(run, args.out, run_name=args.run_name)
+    print(json.dumps({"queries": queries.count(), "out": args.out}))
+    _stop(args, spark)
+
+
+def cmd_evaluate(args) -> None:
+    from .operators.eval import compute_all, per_query_metrics
+    from .sources.readers import read_qrels, read_res
+
+    spark = _spark(args)
+    res = read_res(spark, args.res)
+    qrels = read_qrels(spark, args.qrels)
+    if args.per_query:
+        for r in per_query_metrics(res, qrels).orderBy("qid").collect():
+            print(json.dumps(r.asDict()))
+    summary = compute_all(res, qrels).collect()[0]
+    print(json.dumps({k: round(float(v), 4)
+                      for k, v in summary.asDict().items()}))
+    _stop(args, spark)
+
+
+def cmd_qpp(args) -> None:
+    from .operators.qpp import (
+        cumulative_nqc,
+        nqc,
+        query_idf_stats,
+        rsd,
+        uef,
+    )
+    from .operators.retrieval import compile_queries
+    from .sources.readers import read_queries_tsv, read_res
+
+    spark = _spark(args)
+    idx = load_pipeline_index(spark, args.index)
+    queries = read_queries_tsv(spark, args.queries)
+    run = read_res(spark, args.res).cache()
+    qt = compile_queries(queries, idx.analyzer)
+    idf = query_idf_stats(qt, idx.term_stats, idx.stats.n_docs).cache()
+    if args.predictor == "nqc":
+        est = nqc(run, idf, k=args.k)
+    elif args.predictor == "cumnqc":
+        est = cumulative_nqc(run, idf, k=args.k)
+    elif args.predictor == "avgidf":
+        est = idf.select("qid", F.col("avgidf").alias("est"))
+    elif args.predictor == "maxidf":
+        est = idf.select("qid", F.col("maxidf").alias("est"))
+    elif args.predictor == "rsd":
+        est = rsd(run, idf, k=args.k)
+    elif args.predictor == "uef":
+        base = nqc(run, idf, k=args.k)
+        est = uef(idx, run, base, "nqc")
+    else:
+        raise SystemExit(f"unknown predictor {args.predictor}")
+    for r in est.orderBy("qid").collect():
+        print(json.dumps(r.asDict()))
+    _stop(args, spark)
+
+
+def cmd_sparsevecs(args) -> None:
+    from .sources.writers import sparse_vectors
+
+    spark = _spark(args)
+    idx = load_pipeline_index(spark, args.index)
+    vecs = sparse_vectors(idx, weighting=args.weighting)
+    vecs.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"rows": spark.read.parquet(args.out).count()}))
+    _stop(args, spark)
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="lucene_msmarco_spark")
+    p.add_argument("--master", default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("index", help="build the inverted index (resumable)")
+    pi.add_argument("--input", required=True)
+    pi.add_argument("--out", required=True)
+    pi.add_argument("--analyzer", default="english")
+    pi.add_argument("--no-resume", action="store_true")
+    pi.set_defaults(fn=cmd_index)
+
+    pr = sub.add_parser("retrieve", help="batch top-k search -> TREC res")
+    pr.add_argument("--index", required=True)
+    pr.add_argument("--queries", required=True)
+    pr.add_argument("--model", default="bm25",
+                    choices=["bm25", "lmdir", "lmjm", "tfidf"])
+    pr.add_argument("--k", type=int, default=100)
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--run-name", default="lms")
+    pr.set_defaults(fn=cmd_retrieve)
+
+    pe = sub.add_parser("evaluate", help="evaluate a res file vs qrels")
+    pe.add_argument("--res", required=True)
+    pe.add_argument("--qrels", required=True)
+    pe.add_argument("--per-query", action="store_true")
+    pe.set_defaults(fn=cmd_evaluate)
+
+    pq = sub.add_parser("qpp", help="query-performance prediction")
+    pq.add_argument("--index", required=True)
+    pq.add_argument("--queries", required=True)
+    pq.add_argument("--res", required=True)
+    pq.add_argument("--predictor", default="nqc")
+    pq.add_argument("--k", type=int, default=50)
+    pq.set_defaults(fn=cmd_qpp)
+
+    ps = sub.add_parser("sparsevecs", help="export sparse doc vectors")
+    ps.add_argument("--index", required=True)
+    ps.add_argument("--out", required=True)
+    ps.add_argument("--weighting", default="bm25",
+                    choices=["tf", "tfidf", "bm25"])
+    ps.set_defaults(fn=cmd_sparsevecs)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

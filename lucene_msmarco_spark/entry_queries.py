@@ -99,6 +99,13 @@ def _dialect(d: str) -> dict[str, object]:
         else (lambda x: f"list(DISTINCT {x})"),
         "STR": (lambda x: f"CAST({x} AS STRING)") if spark
         else (lambda x: f"CAST({x} AS VARCHAR)"),
+        "REGEX_ALL": (lambda x, p: f"regexp_extract_all({x}, '{p}', 0)")
+        if spark
+        else (lambda x, p: f"regexp_extract_all({x}, '{p}')"),
+        # unix_timestamp FLOORS sub-second fractions; duckdb CAST rounds,
+        # so floor explicitly there
+        "EPOCH": (lambda x: f"unix_timestamp({x})") if spark
+        else (lambda x: f"CAST(floor(epoch({x})) AS BIGINT)"),
     }
 
 
@@ -491,6 +498,88 @@ ranked AS (
 )
 SELECT qvec, nvec, rank, sim FROM ranked WHERE rank <= 5
 ORDER BY qvec, rank"""
+    if name == "qpp_maxidf":
+        # P4 MaxIDF (qpp/BaseIDFSpecificity.java:44-65): max ln(N/df)
+        # over matched terms, 0 when all terms are OOV
+        return base + """,
+qa AS (
+  SELECT q.qid, s.df FROM qterms q
+  LEFT JOIN tstats s ON q.term = s.term
+)
+SELECT qa.qid,
+       round(COALESCE(MAX(CASE WHEN qa.df > 0
+                 THEN ln(CAST(g.n_docs AS DOUBLE) / qa.df) END), 0), 4)
+         AS maxidf
+FROM qa CROSS JOIN g GROUP BY qa.qid ORDER BY qa.qid"""
+    if name == "token_stats":
+        ws = D["SPLIT_WS"]("text")
+        bpe = D["REGEX_ALL"]("text", "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]")
+        return f"""
+SELECT doc_id,
+       CAST({D['LEN'](ws)} AS BIGINT) AS n_ws_tokens,
+       CAST({D['LEN'](bpe)} AS BIGINT) AS n_bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars2
+FROM documents ORDER BY doc_id"""
+    if name == "ann_lsh_topk":
+        # axis-aligned LSH: bucket = sign bits of the first 8 dims;
+        # candidate pairs share a bucket; exact cosine within the bucket
+        bits = " + ".join(
+            f"(CASE WHEN {D['AT']('embedding', i + 1)} >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(8)
+        )
+        dot_ab = D["DOT"]("a.embedding", "b.embedding")
+        dot_aa = D["DOT"]("a.embedding", "a.embedding")
+        dot_bb = D["DOT"]("b.embedding", "b.embedding")
+        return f"""
+WITH b AS (
+  SELECT vec_id, embedding, CAST({bits} AS INT) AS bucket FROM embeddings
+),
+sims AS (
+  SELECT a.vec_id AS qvec, b.vec_id AS nvec,
+         {dot_ab} / (sqrt({dot_aa}) * sqrt({dot_bb})) AS sim
+  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+  WHERE a.vec_id < 20
+),
+ranked AS (
+  SELECT qvec, nvec,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY qvec ORDER BY round(sim, 6) DESC, nvec ASC
+         ) AS INT) AS rank,
+         round(sim, 4) AS sim
+  FROM sims
+)
+SELECT qvec, nvec, rank, sim FROM ranked WHERE rank <= 5
+ORDER BY qvec, rank"""
+    if name == "events_sessionize":
+        ep = D["EPOCH"]("ts")
+        return f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, value, {ep} AS es FROM events
+),
+gaps AS (
+  SELECT user_id, event_id, event_type, value, es,
+         CASE WHEN es - LAG(es) OVER (
+           PARTITION BY user_id ORDER BY es, event_id
+         ) > 1800 OR LAG(es) OVER (
+           PARTITION BY user_id ORDER BY es, event_id
+         ) IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM e
+),
+sess AS (
+  SELECT user_id, event_id, value, es,
+         SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY es, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_idx
+  FROM gaps
+)
+SELECT user_id, CAST(session_idx AS INT) AS session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(es) - MIN(es) AS BIGINT) AS duration_sec,
+       round(SUM(value), 4) AS sum_value
+FROM sess GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx"""
     if name == "events_hourly":
         return """
 SELECT date_trunc('hour', ts) AS hour, event_type,
@@ -509,6 +598,7 @@ QUERY_NAMES = [
     "text_quality", "lang_id", "doc_fingerprint",
     "dedup_exact_prefix", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash", "ann_cosine_topk", "events_hourly",
+    "qpp_maxidf", "token_stats", "ann_lsh_topk", "events_sessionize",
 ]
 
 

@@ -273,3 +273,11 @@ def rbo_df(
     return both.groupBy("qid").applyInPandas(
         one, schema="qid string, rbo double"
     )
+
+
+def polynomial_fit(x, y, degree: int = 2) -> np.ndarray:
+    """C11 — least-squares polynomial coefficients (highest power first),
+    the engine's stand-in for commons-math3 PolynomialCurveFitter
+    (``correlation/PolynomialRegression.java:14-57``, standalone in the
+    reference)."""
+    return np.polyfit(_as1d(x), _as1d(y), degree)

@@ -175,3 +175,13 @@ def compute_all(
         F.avg("p_at_k").alias("p_at_5"),
         F.avg("ndcg").alias("ndcg_100"),
     )
+
+
+def fairness_combined(pre_evaluated: DataFrame) -> DataFrame:
+    """E9 — pre-evaluated fairness metrics: combined = awrf * ndcg
+    (``qrels/PreEvaluatedResults.java:16-34``,
+    ``qrels/FairnessMetrics.java:9-15``). Input: (qid, ndcg, awrf)."""
+    return pre_evaluated.select(
+        "qid", "ndcg", "awrf",
+        (F.col("awrf") * F.col("ndcg")).alias("combined"),
+    )

@@ -292,3 +292,17 @@ def rocchio_expand(
         .filter(F.col("r") <= cfg.num_expansion_terms)
         .select("qid", "term", F.lit(1.0).alias("qtf"), "weight")
     )
+
+
+def feedback_term_stats(
+    index: InvertedIndex,
+    run: DataFrame,
+    num_top_docs: int,
+    cfg: FeedbackConfig = FeedbackConfig(),
+) -> DataFrame:
+    """F13 — per-query sorted RM-conditional feedback term weights over
+    the top-n of a given run (``retrieval/FdbkTermStats.java:24-65``,
+    shell driver ``printfdbkterms.sh``): (qid, term, wt), wt desc."""
+    stats = top_docs_term_stats(index, run, num_top_docs)
+    wts = rm_conditional_weights(stats, cfg)
+    return wts.orderBy("qid", F.col("wt").desc(), "term")

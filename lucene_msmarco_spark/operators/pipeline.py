@@ -1,0 +1,353 @@
+"""Training-data-pipeline operators as reusable DataFrame functions —
+deduplication, similarity search, text analysis — the engine-side
+counterparts of the SQL driver-contract queries in ``entry_queries``
+(which remain the oracle-checked form; these APIs share the same
+semantics and are cross-checked in tests).
+
+Everything here is pure ``pyspark.sql.functions`` column math (JVM,
+whole-stage codegen) — no Python in the hot path. All self-joins are
+bounded by banding/bucketing so they scale as O(candidates), not O(n²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.analysis import simple_tokens_col, stopwords
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    prefix_words: int | None = None,
+) -> DataFrame:
+    """Exact duplicate groups by md5 of the text (or its first
+    ``prefix_words`` words): (fp, cnt, rep) for groups of size > 1; the
+    representative is the smallest id (keep-first policy)."""
+    base = F.col(text_col)
+    if prefix_words is not None:
+        base = F.array_join(
+            F.slice(F.split(base, " "), 1, prefix_words), " "
+        )
+    return (
+        docs.select(F.col(id_col), F.md5(base).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(id_col).alias("rep"),
+        )
+        .filter(F.col("cnt") > 1)
+    )
+
+
+def shingles(
+    docs: DataFrame, n: int = 3, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, sh)."""
+    ws = F.split(F.col(text_col), " ")
+    idxs = F.sequence(F.lit(1), F.size(ws) - F.lit(n - 1))
+    grams = F.transform(
+        idxs,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, i + F.lit(j)) for j in range(n)]
+        ),
+    )
+    return (
+        docs.filter(F.size(ws) >= n)
+        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("sh"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, n_hashes: int = 8, shingle_n: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signatures (one band per hash — the SQL contract's shape)
+    → candidate pairs: (doc_a, doc_b, n_buckets). Min over
+    ``md5(seed || ':' || shingle)`` per seed, identical to the oracle."""
+    sh = shingles(docs, shingle_n, text_col, id_col)
+    seeds = sh.sparkSession.range(n_hashes).select(
+        F.col("id").cast("int").alias("s")
+    )
+    sigs = (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id", "s",
+            F.md5(F.concat_ws(":", F.col("s").cast("string"),
+                              F.col("sh"))).alias("h"),
+        )
+        .groupBy("doc_id", "s")
+        .agg(F.min("h").alias("mh"))
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.mh") == F.col("b.mh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, shingle_n: int = 3, min_jaccard: float = 0.0,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Shingle-set Jaccard similarity for pairs sharing >= 1 shingle."""
+    sh = shingles(docs, shingle_n, text_col, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("i") / (F.col("na") + F.col("nb") - F.col("i")),
+        )
+    )
+    return out.filter(F.col("jaccard") >= min_jaccard).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def simhash(
+    tf: DataFrame, bits: int = 16, term_col: str = "term",
+    id_col: str = "doc_id", tf_col: str = "tf",
+) -> DataFrame:
+    """tf-weighted SimHash over md5-nibble bit projections of each term
+    (same construction as the oracle SQL): (doc_id, simhash)."""
+    h = F.md5(F.col(term_col))
+    cols = []
+    for i in range(bits):
+        nib = F.instr(
+            F.lit("0123456789abcdef"), F.substring(h, i + 1, 1)
+        ) - F.lit(1)
+        sign = F.when(nib % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+        cols.append(
+            F.sum(F.col(tf_col) * sign).alias(f"s{i}")
+        )
+    sums = tf.groupBy(id_col).agg(*cols)
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sums.select(
+        F.col(id_col).alias("doc_id"), sig.cast("long").alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def _cos(a, b):
+    dot = F.aggregate(
+        F.zip_with(a.cast("array<double>"), b.cast("array<double>"),
+                   lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(
+        F.transform(a.cast("array<double>"), lambda x: x * x),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    nb = F.sqrt(F.aggregate(
+        F.transform(b.cast("array<double>"), lambda x: x * x),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    return dot / (na * nb)
+
+
+def ann_brute_topk(
+    embeddings: DataFrame, query_vecs: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    full embedding table — the baseline every approximate variant is
+    checked against. Output: (qvec, nvec, rank, sim)."""
+    q = query_vecs.select(
+        F.col(id_col).alias("qvec"), F.col(vec_col).alias("qemb")
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("nvec"), F.col(vec_col).alias("nemb")
+    )
+    sims = e.crossJoin(F.broadcast(q)).filter(
+        F.col("qvec") != F.col("nvec")
+    ).select("qvec", "nvec", _cos(F.col("qemb"), F.col("nemb")).alias("sim"))
+    w = Window.partitionBy("qvec").orderBy(
+        F.desc("sim"), F.asc("nvec")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qvec", "nvec", "rank", "sim")
+    )
+
+
+def lsh_bucket(
+    embeddings: DataFrame, n_bits: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Axis-aligned sign-LSH bucket id from the first ``n_bits`` dims
+    (the scale path: candidates only join within a bucket)."""
+    sig = None
+    for i in range(n_bits):
+        term = F.when(
+            F.element_at(F.col(vec_col), i + 1) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return embeddings.select(
+        F.col(id_col), F.col(vec_col), sig.cast("int").alias("bucket")
+    )
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame, k: int = 5, n_bits: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    query_filter=None,
+) -> DataFrame:
+    """Approximate cosine top-k within LSH buckets (all-pairs form).
+    ``query_filter``: optional Column restricting which vectors act as
+    queries. Output: (qvec, nvec, rank, sim)."""
+    b = lsh_bucket(embeddings, n_bits, id_col, vec_col)
+    a = b.select(
+        F.col(id_col).alias("qvec"), F.col(vec_col).alias("qemb"), "bucket"
+    )
+    if query_filter is not None:
+        a = a.filter(query_filter)
+    c = b.select(
+        F.col(id_col).alias("nvec"), F.col(vec_col).alias("nemb"), "bucket"
+    )
+    sims = a.join(c, "bucket").filter(
+        F.col("qvec") != F.col("nvec")
+    ).select("qvec", "nvec", _cos(F.col("qemb"), F.col("nemb")).alias("sim"))
+    w = Window.partitionBy("qvec").orderBy(F.desc("sim"), F.asc("nvec"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qvec", "nvec", "rank", "sim")
+    )
+
+
+def embedding_near_dup(
+    embeddings: DataFrame, min_cosine: float = 0.95, n_bits: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH buckets."""
+    b = lsh_bucket(embeddings, n_bits, id_col, vec_col)
+    a = b.select(F.col(id_col).alias("id_a"),
+                 F.col(vec_col).alias("ea"), "bucket")
+    c = b.select(F.col(id_col).alias("id_b"),
+                 F.col(vec_col).alias("eb"), "bucket")
+    pairs = a.join(c, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b", _cos(F.col("ea"), F.col("eb")).alias("cosine")
+    ).filter(F.col("cosine") >= min_cosine)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def text_quality(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Length/stopword/token-shape quality features (engine-side form of
+    the ``text_quality`` contract query)."""
+    toks = simple_tokens_col(F.lower(F.col(text_col)))
+    sw = F.array(*[F.lit(s) for s in sorted(stopwords())])
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(toks).alias("t")
+    )
+    per_doc = exploded.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(
+            F.when(F.array_contains(sw, F.col("t")), 1).otherwise(0)
+        ).alias("n_stop"),
+        F.avg(F.length("t")).alias("avg_token_len"),
+    )
+    stop_ratio = F.col("n_stop") / F.col("n_tokens")
+    return per_doc.select(
+        "doc_id", "n_tokens",
+        stop_ratio.alias("stop_ratio"),
+        "avg_token_len",
+        (F.log(F.lit(1.0) + F.col("n_tokens"))
+         * (F.lit(1.0) - stop_ratio)).alias("quality"),
+    )
+
+
+def lang_id(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_stop_ratio: float = 0.03,
+) -> DataFrame:
+    """Stopword-ratio language heuristic (en vs unk) — the n-gram-free
+    baseline matching the contract query."""
+    q = text_quality(docs, text_col, id_col)
+    return q.select(
+        "doc_id",
+        F.when(F.col("stop_ratio") > min_stop_ratio, "en")
+        .otherwise("unk").alias("pred_lang"),
+    )
+
+
+def token_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Whitespace + BPE-ish (letter-runs / single digits / punct) token
+    counts per doc."""
+    ws = F.split(F.col(text_col), " ")
+    bpe = F.regexp_extract_all(
+        F.col(text_col), F.lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), 0
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(ws).cast("long").alias("n_ws_tokens"),
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def rolling_fingerprint(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    base: int = 1_000_003, mod: int = (1 << 31) - 1,
+) -> DataFrame:
+    # mod < 2^31 keeps acc*base + x < 2^52 — no int64 overflow under
+    # ANSI mode
+    """Order-sensitive polynomial rolling hash over the word sequence
+    (document fingerprinting; contrast with the order-insensitive
+    ``doc_fingerprint`` contract query): h = Σ h*B + hash(word) mod M,
+    all JVM-side."""
+    ws = F.split(F.col(text_col), " ")
+    word_hash = F.transform(ws, lambda w: F.pmod(F.xxhash64(w), F.lit(mod)))
+    rolled = F.aggregate(
+        word_hash,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * F.lit(base) + x, F.lit(mod)),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), rolled.alias("fingerprint")
+    )

@@ -159,3 +159,32 @@ def score_queries(
     return contribs.groupBy("qid", "doc_id").agg(
         F.sum("contrib").alias("score")
     )
+
+
+def induce_scores(
+    index: InvertedIndex,
+    run: DataFrame,
+    queries: DataFrame,
+    model: str = "lmjm",
+    cfg: EngineConfig = EngineConfig(),
+    analyzer: str | None = None,
+) -> DataFrame:
+    """Q8 — re-score an externally-given ranked list (e.g. a minimalist
+    2-column res file) with a term-weight sum over the query terms, then
+    re-rank (``qrels/RetrievedResults.java:51-96``; the reference uses
+    LM-JM with lambda at the call site). Docs whose text shares no term
+    with the query score 0. Returns (qid, doc_id, rank, score)."""
+    from pyspark.sql import Window
+
+    qt = compile_queries(queries, analyzer or index.analyzer)
+    contribs = score_contributions(index, qt, model, cfg)
+    cand = run.select("qid", "doc_id")
+    scored = cand.join(contribs, ["qid", "doc_id"], "left").groupBy(
+        "qid", "doc_id"
+    ).agg(F.coalesce(F.sum("contrib"), F.lit(0.0)).alias("score"))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return scored.select(
+        "qid", "doc_id", F.row_number().over(w).alias("rank"), "score"
+    )

@@ -226,3 +226,35 @@ def knn_pseudo_rel_rerank(
     # side must cover the run's docs: reuse stats with the run's vectors
     run_stats = top_docs_term_stats(index, run, cfg.feedback.num_top_docs)
     return kl_div_rerank(run_stats, wts, run)
+
+
+def knn_query_search(
+    query_index: InvertedIndex,
+    test_queries: DataFrame,
+    k: int = 5,
+    model: str = "lmdir",
+    cfg: EngineConfig = EngineConfig(),
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Q10 — retrieve the top-k nearest TRAINING queries for each test
+    query from a queries-as-documents index (``retrieval/
+    MsMarcoQuery.java:85-113``, ``KNNRelModel.java:56-62,102-128``), with
+    similarities normalized to sum 1 per test query. ``query_index``:
+    an index built over (doc_id=train row id, text=train qtext) with a
+    ``ref_qid`` column on its docs table. Returns (qid, ref_qid, sim)."""
+    from .retrieval import search as _search
+
+    run = _search(query_index, test_queries, model=model, k=k + 1, cfg=cfg)
+    mapped = run.join(
+        query_index.docs.select("doc_id", "ref_qid"), "doc_id"
+    )
+    if exclude_self:
+        mapped = mapped.filter(F.col("qid") != F.col("ref_qid"))
+    w = Window.partitionBy("qid").orderBy("rank")
+    topk = mapped.withColumn("r2", F.row_number().over(w)).filter(
+        F.col("r2") <= k
+    )
+    sums = topk.groupBy("qid").agg(F.sum("score").alias("z"))
+    return topk.join(sums, "qid").select(
+        "qid", "ref_qid", (F.col("score") / F.col("z")).alias("sim")
+    )

@@ -122,3 +122,65 @@ def save_term_distribution(model: DataFrame, path: str) -> None:
 
 def load_term_distribution(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def permutation_map(run_pre: DataFrame, run_post: DataFrame) -> DataFrame:
+    """S13 — per-qid permutation lines ``qid \\t preRank>postRank,...``
+    (``qpp/PreComputedPredictor.java:67-99``): for each doc of the
+    pre-run, the rank it moved to in the post-run, in pre-rank order."""
+    pre = run_pre.select("qid", "doc_id", F.col("rank").alias("pre_rank"))
+    post = run_post.select("qid", "doc_id", F.col("rank").alias("post_rank"))
+    joined = pre.join(post, ["qid", "doc_id"])
+    pairs = joined.select(
+        "qid", "pre_rank",
+        F.concat_ws(
+            ">",
+            F.col("pre_rank").cast("string"),
+            F.col("post_rank").cast("string"),
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("qid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pre_rank", "pair"))
+                ),
+                lambda s: s["pair"],
+            ),
+            ",",
+        ).alias("perm")
+    )
+    return agg.select(
+        "qid", F.concat_ws("\t", F.col("qid"), F.col("perm")).alias("line")
+    )
+
+
+def analyzed_export(docs: DataFrame, analyzer: str = "english") -> DataFrame:
+    """T3 — pre-analysis export (``indexing/Preprocessor.java:9-31``):
+    (doc_id, analyzed) where ``analyzed`` is the space-joined token stream
+    (the reference's ``msmarco.stop.stemmed.tsv``). Write with
+    ``df.select(format_string('%s\\t%s', ...)).write.text`` for the TSV."""
+    from ..functions.analysis import (
+        simple_tokens_col,
+        tokenize_english,
+        whitespace_tokens_col,
+    )
+    from ..functions.analysis import fold_numbers_col
+
+    text = fold_numbers_col(F.col("text"))
+    if analyzer == "english":
+        toks = tokenize_english(text)
+    elif analyzer == "simple":
+        toks = F.filter(simple_tokens_col(text), _not_stop_lambda())
+    else:
+        toks = whitespace_tokens_col(text)
+    return docs.select(
+        "doc_id", F.array_join(toks, " ").alias("analyzed")
+    )
+
+
+def _not_stop_lambda():
+    from ..functions.analysis import stopwords
+
+    sw = F.array(*[F.lit(s) for s in sorted(stopwords())])
+    return lambda t: ~F.array_contains(sw, t)

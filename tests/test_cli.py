@@ -1,0 +1,90 @@
+"""End-to-end CLI drive: index -> retrieve -> evaluate -> qpp ->
+sparsevecs over a tmp dir (the reference's index.sh/retrieve.sh shape)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from lucene_msmarco_spark.cli import load_pipeline_index, main
+from lucene_msmarco_spark.sources.transcripts import generate_transcripts
+
+
+@pytest.fixture(scope="module")
+def workdir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    inp = str(d / "input")
+    generate_transcripts(spark, n_turns=200, seed=42,
+                         num_partitions=4).write.parquet(inp)
+    (d / "queries.tsv").write_text(
+        "q1\tricufex kekegra report\nq2\ttamori polgrake verlu\n"
+    )
+    qrels_lines = []
+    for doc in range(0, 200, 9):
+        qrels_lines.append(f"q1 0 {doc} {1 + doc % 3}")
+    for doc in range(0, 200, 11):
+        qrels_lines.append(f"q2 0 {doc} 1")
+    (d / "qrels.txt").write_text("\n".join(qrels_lines) + "\n")
+    return d, inp
+
+
+def test_cli_index_retrieve_evaluate_qpp(workdir, capsys):
+    d, inp = workdir
+    idx_dir = str(d / "index")
+    main(["index", "--input", inp, "--out", idx_dir])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["executed_stages"] == [
+        "doc_ids", "tokens_tf", "doc_stats", "term_stats", "postings"
+    ]
+    assert out["rows"]["doc_ids"] == 200
+
+    # resume: nothing re-runs
+    main(["index", "--input", inp, "--out", idx_dir])
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["executed_stages"] == []
+
+    res_path = str(d / "run.res")
+    main(["retrieve", "--index", idx_dir, "--queries",
+          str(d / "queries.tsv"), "--model", "bm25", "--k", "20",
+          "--out", res_path])
+    capsys.readouterr()
+    assert os.path.exists(res_path)  # spark text output dir
+    import glob
+
+    lines = []
+    for part in glob.glob(os.path.join(res_path, "part-*")):
+        lines += [ln for ln in open(part).read().splitlines() if ln]
+    assert lines
+    assert all(len(ln.split("\t")) == 6 for ln in lines)
+
+    main(["evaluate", "--res", res_path, "--qrels", str(d / "qrels.txt")])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(summary) == {"recall_quirk", "map", "p_at_5", "ndcg_100"}
+
+    main(["qpp", "--index", idx_dir, "--queries", str(d / "queries.tsv"),
+          "--res", res_path, "--predictor", "nqc", "--k", "20"])
+    qpp_lines = [json.loads(x)
+                 for x in capsys.readouterr().out.strip().splitlines()]
+    assert {r["qid"] for r in qpp_lines} == {"q1", "q2"}
+
+    vec_dir = str(d / "vecs")
+    main(["sparsevecs", "--index", idx_dir, "--out", vec_dir])
+    out3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out3["rows"] > 0
+
+
+def test_load_pipeline_index_roundtrip(spark, workdir):
+    from lucene_msmarco_spark.operators.retrieval import search
+
+    d, inp = workdir
+    idx_dir = str(d / "index")
+    if not os.path.exists(os.path.join(idx_dir, "_manifest.jsonl")):
+        main(["index", "--input", inp, "--out", idx_dir])
+    idx = load_pipeline_index(spark, idx_dir)
+    qdf = spark.createDataFrame(
+        [("q1", "ricufex kekegra")], "qid string, qtext string"
+    )
+    run = search(idx, qdf, model="bm25", k=5).collect()
+    assert len(run) > 0
