@@ -245,6 +245,40 @@ class CompactIndex:
             analyzer=idx.analyzer,
         )
 
+    def save(self, path: str) -> None:
+        """Persist as a parquet postings table + a stats sidecar — the
+        shippable index artifact (Iceberg table + snapshot props on a
+        real deployment)."""
+        import json
+        import os
+
+        self.postings.write.mode("overwrite").parquet(
+            os.path.join(path, "postings")
+        )
+        with open(os.path.join(path, "_stats.json"), "w") as f:
+            json.dump({
+                "n_docs": self.stats.n_docs,
+                "avgdl": self.stats.avgdl,
+                "total_cf": self.stats.total_cf,
+                "analyzer": self.analyzer,
+            }, f)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "CompactIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, "_stats.json")) as f:
+            meta = json.load(f)
+        return cls(
+            postings=spark.read.parquet(os.path.join(path, "postings")),
+            stats=GlobalStats(
+                n_docs=meta["n_docs"], avgdl=meta["avgdl"],
+                total_cf=meta["total_cf"],
+            ),
+            analyzer=meta["analyzer"],
+        )
+
     def to_inverted_index(self, docs: DataFrame | None = None) -> InvertedIndex:
         """Rehydrate the DataFrame-level index from the blobs (query paths
         that want plain joins run unchanged off the compact form)."""

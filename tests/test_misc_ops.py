@@ -109,3 +109,18 @@ def test_fairness_combined(spark):
            for r in fairness_combined(pre).collect()}
     assert got["q1"] == pytest.approx(0.4)
     assert got["q2"] == 0.0
+
+
+def test_analyzed_export_t3(spark, idx):
+    from lucene_msmarco_spark.functions.analysis import analyze_str
+    from lucene_msmarco_spark.sources.writers import analyzed_export
+
+    docs = idx.docs.select("doc_id", "text").limit(20)
+    out = {r["doc_id"]: r["analyzed"]
+           for r in analyzed_export(docs, "english").collect()}
+    for r in docs.collect():
+        from lucene_msmarco_spark.functions.analysis import fold_numbers_str
+
+        expect = " ".join(analyze_str(fold_numbers_str(r["text"] or ""),
+                                      "english"))
+        assert out[r["doc_id"]] == expect

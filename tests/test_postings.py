@@ -236,6 +236,22 @@ def test_bmw_equals_exhaustive(spark, idx, compact, k):
     _runs_equal(exact, bmw)
 
 
+def test_compact_index_save_load(spark, idx, compact, tmp_path):
+    path = str(tmp_path / "cidx")
+    compact.save(path)
+    loaded = CompactIndex.from_index(idx, block_size=16).load(spark, path)
+    assert loaded.stats == compact.stats
+    assert loaded.analyzer == compact.analyzer
+    qdf = spark.createDataFrame(QUERIES, "qid string, qtext string")
+    qt = compile_queries(qdf, analyzer="english")
+    cfg = BM25Config(k1=0.9, b=0.4)
+    a = bmw_search(compact, qt, k=10, cfg=cfg).orderBy(
+        "qid", "rank").collect()
+    b = bmw_search(loaded, qt, k=10, cfg=cfg).orderBy(
+        "qid", "rank").collect()
+    _runs_equal(a, b)
+
+
 def test_search_from_rehydrated_blobs(spark, idx, compact):
     qdf = spark.createDataFrame(QUERIES, "qid string, qtext string")
     exact = search(idx, qdf, model="bm25", k=20).orderBy(
