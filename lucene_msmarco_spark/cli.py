@@ -51,8 +51,23 @@ def _stop(args, spark: SparkSession) -> None:
 
 
 def load_pipeline_index(spark: SparkSession, index_dir: str):
-    """Rehydrate an InvertedIndex from an IndexBuildPipeline output."""
+    """Rehydrate an InvertedIndex from an IndexBuildPipeline output.
+
+    The analyzer used at build time is restored from the pipeline's
+    ``_config.json`` sidecar — queries compiled against the rehydrated
+    index must run the SAME analyzer chain the documents were indexed
+    with, or retrieval silently degrades (e.g. an index built with
+    ``--analyzer simple`` searched with Porter-stemmed query terms).
+    """
+    import os
+
     from .operators.index import GlobalStats, InvertedIndex
+
+    analyzer = "english"
+    cfg_path = os.path.join(index_dir, "_config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            analyzer = json.load(f).get("analyzer", analyzer)
 
     docs = spark.read.parquet(f"{index_dir}/doc_ids")
     tokens = spark.read.parquet(f"{index_dir}/tokens_tf")
@@ -70,7 +85,7 @@ def load_pipeline_index(spark: SparkSession, index_dir: str):
     )
     return InvertedIndex(
         docs=docs, tokens=tokens, doc_stats=doc_stats,
-        term_stats=term_stats, stats=stats,
+        term_stats=term_stats, stats=stats, analyzer=analyzer,
     )
 
 

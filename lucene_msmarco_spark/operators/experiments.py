@@ -31,7 +31,7 @@ from ..config import EngineConfig
 from .correlation import kendall_tau, pearson_r, sare, spearman_rho
 from .eval import fill_rel, per_query_metrics
 from .index import InvertedIndex
-from .qpp import cumulative_nqc, nqc, query_idf_stats
+from .qpp import composite_qid, cumulative_nqc, nqc, query_idf_stats
 from .retrieval import compile_queries, search
 
 
@@ -164,19 +164,19 @@ def stochastic_qpp_evaluation(
     samples = sample_swapped_runs(
         filled, num_samples, seed=seed
     )
-    skey = F.concat_ws("#", F.col("qid"), F.col("sample"))
-    srun = samples.select(skey.alias("qid"), "doc_id", "rank", "score")
+    srun = samples.select(
+        composite_qid().alias("qid"), "doc_id", "rank", "score"
+    )
     sq = qrels.sparkSession.range(num_samples).select(
         F.col("id").cast("int").alias("sample")
     )
     sqrels = qrels.crossJoin(F.broadcast(sq)).select(
-        F.concat_ws("#", F.col("qid"), F.col("sample")).alias("qid"),
-        "doc_id", "rel",
+        composite_qid().alias("qid"), "doc_id", "rel",
     )
     smetrics = per_query_metrics(srun, sqrels)
 
     sidf = idf.crossJoin(F.broadcast(sq)).select(
-        F.concat_ws("#", F.col("qid"), F.col("sample")).alias("qid"),
+        composite_qid().alias("qid"),
         *[c for c in idf.columns if c != "qid"],
     )
     sest = (

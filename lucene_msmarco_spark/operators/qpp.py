@@ -55,6 +55,21 @@ from .index import InvertedIndex
 SEED = 314152  # utils/IndexUtils.java:21
 
 
+def composite_qid(qid_col: str = "qid", sample_col: str = "sample"):
+    """``qid '#' sample`` composite key used to batch per-sample metric/
+    estimate jobs. Fails fast (JVM-side raise_error) if a real qid
+    contains the reserved ``#`` — otherwise the later ``substring_index``
+    parse would silently group correlations under the wrong qid."""
+    q = F.col(qid_col)
+    guarded = F.when(
+        q.contains("#"),
+        F.raise_error(F.concat(
+            F.lit("qid contains reserved delimiter '#': "), q
+        )),
+    ).otherwise(q)
+    return F.concat_ws("#", guarded, F.col(sample_col))
+
+
 # ---------------------------------------------------------------------------
 # IDF statistics (P3, P4 + NQC's idf variant)
 # ---------------------------------------------------------------------------
@@ -194,9 +209,8 @@ def uef(
     """P5 -> (qid, uef). ``base``: (qid, <base_col>) estimates."""
     sample_size = sample_size or cfg.feedback.num_top_docs
     samp = sampled_runs(run, num_samples, sample_size, seed)
-    skey = F.concat_ws("#", F.col("qid"), F.col("sample"))
     srun = samp.select(
-        skey.alias("qid"), "doc_id", "rank", "score"
+        composite_qid().alias("qid"), "doc_id", "rank", "score"
     )
     stats = top_docs_term_stats(index, srun, num_top_docs=sample_size)
     wts = rm_conditional_weights(stats, cfg.feedback)
@@ -207,8 +221,7 @@ def uef(
         F.col("id").cast("int").alias("sample")
     )
     orig_tagged = run.crossJoin(F.broadcast(sample_ids)).select(
-        F.concat_ws("#", F.col("qid"), F.col("sample")).alias("qid"),
-        "doc_id", "rank",
+        composite_qid().alias("qid"), "doc_id", "rank",
     )
     rd = rank_distance_df(orig_tagged, reranked)
     back = rd.withColumn(

@@ -156,7 +156,9 @@ def shuffled_runs(
         for s in range(num_samples):
             rng = _rng(key[0], s, seed)
             d = docs.copy()
-            for _ in range(num_shuffles):
+            # n < 2: no swap partner exists (rng.integers(0, 0) raises);
+            # the only permutation is the identity
+            for _ in range(num_shuffles if n >= 2 else 0):
                 r = 0 if top_doc_always_swapped else int(
                     rng.integers(0, n)
                 )

@@ -49,7 +49,11 @@ def input_fingerprint(path: str) -> str:
     """Content-address the input directory by (name, size, mtime) of its
     data files — cheap, no data read."""
     entries = []
-    for root, _dirs, files in os.walk(path):
+    for root, dirs, files in os.walk(path):
+        # os.walk's subdirectory order is filesystem-dependent; sort it
+        # in place so an identical tree always hashes identically (the
+        # fingerprint gates checkpoint resume)
+        dirs.sort()
         for f in sorted(files):
             if f.startswith(("_", ".")):
                 continue
@@ -153,6 +157,12 @@ class IndexBuildPipeline:
         fp = input_fingerprint(self.input_path)
         ch = self.config.hash()
         executed: list[str] = []
+        # persist the build config READABLY (not just its hash) so a
+        # later load_pipeline_index can restore analyzer etc. — the
+        # manifest rows alone only carry config_hash
+        os.makedirs(self.out_dir, exist_ok=True)
+        with open(os.path.join(self.out_dir, "_config.json"), "w") as f:
+            json.dump(dict(self.config.__dict__, config_hash=ch), f)
 
         def stage(name: str, fn) -> None:
             if resume and self._is_done(name, fp, ch):

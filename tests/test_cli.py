@@ -88,3 +88,16 @@ def test_load_pipeline_index_roundtrip(spark, workdir):
     )
     run = search(idx, qdf, model="bm25", k=5).collect()
     assert len(run) > 0
+
+
+def test_load_pipeline_index_restores_analyzer(spark, workdir):
+    """ADVICE r1: an index built with a non-default analyzer must be
+    rehydrated with that same analyzer (query compilation follows it)."""
+    d, inp = workdir
+    idx_dir = str(d / "index_simple")
+    main(["index", "--input", inp, "--out", idx_dir,
+          "--analyzer", "simple"])
+    idx = load_pipeline_index(spark, idx_dir)
+    assert idx.analyzer == "simple"
+    assert json.load(open(os.path.join(idx_dir, "_config.json")))[
+        "analyzer"] == "simple"

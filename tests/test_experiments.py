@@ -110,3 +110,30 @@ def test_permutation_map(spark):
     )
     line = permutation_map(pre, post).collect()[0]["line"]
     assert line == "q1\t1>2,2>3,3>1"
+
+
+def test_shuffled_runs_single_doc_query(spark):
+    """ADVICE r1: a query whose list has exactly one doc must not crash
+    the shuffle sampler (no swap partner exists -> identity list)."""
+    from lucene_msmarco_spark.operators.stochastic import shuffled_runs
+
+    run = spark.createDataFrame(
+        [("q1", 7, 1, 3.0, 1), ("q2", 1, 1, 9.0, 0), ("q2", 2, 2, 8.0, 1)],
+        "qid string, doc_id long, rank int, score double, rel int",
+    )
+    out = shuffled_runs(run, num_samples=2, num_shuffles=5).collect()
+    q1 = [r for r in out if r.qid == "q1"]
+    assert len(q1) == 2 and all(r.doc_id == 7 for r in q1)
+
+
+def test_composite_qid_rejects_hash(spark):
+    """ADVICE r1: a real qid containing the reserved '#' delimiter must
+    fail fast, not silently mis-group per-sample correlations."""
+    import pytest
+    from lucene_msmarco_spark.operators.qpp import composite_qid
+
+    df = spark.createDataFrame(
+        [("q#1", 0)], "qid string, sample int"
+    ).select(composite_qid().alias("k"))
+    with pytest.raises(Exception, match="reserved delimiter"):
+        df.collect()
