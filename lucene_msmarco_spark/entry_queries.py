@@ -106,6 +106,14 @@ def _dialect(d: str) -> dict[str, object]:
         # so floor explicitly there
         "EPOCH": (lambda x: f"unix_timestamp({x})") if spark
         else (lambda x: f"CAST(floor(epoch({x})) AS BIGINT)"),
+        # per-band minhash signature: the band's minhashes concatenated
+        # in seed order (aggregate over a (doc_id, band) group)
+        "BANDSIG": (
+            lambda: "array_join(transform(array_sort("
+                    "collect_list(struct(s, mh))), x -> x.mh), ':')"
+        )
+        if spark
+        else (lambda: "string_agg(mh, ':' ORDER BY s)"),
     }
 
 
@@ -439,6 +447,10 @@ SELECT fp, CAST(COUNT(*) AS BIGINT) AS cnt, MIN(doc_id) AS rep
 FROM (SELECT doc_id, {fp} AS fp FROM documents) x
 GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp"""
     if name == "dedup_minhash_lsh":
+        # b×r banded LSH (4 bands × 2 rows over 8 minhashes): a pair is
+        # a candidate only when BOTH rows of some band match — r>=2 is
+        # the scale-safe form (r=1 turns every shared hot shingle into a
+        # candidate bucket; see operators/pipeline.minhash_lsh_pairs)
         seeds = ", ".join(f"({s})" for s in range(8))
         str_s = D["STR"]("s")
         return f"""
@@ -447,19 +459,30 @@ seeds AS (SELECT s FROM (VALUES {seeds}) AS t(s)),
 sigs AS (
   SELECT doc_id, s, MIN(md5({str_s} || ':' || sh)) AS mh
   FROM shingles CROSS JOIN seeds GROUP BY doc_id, s
+),
+bands AS (
+  SELECT doc_id, CAST(floor(s / 2.0) AS INT) AS band,
+         {D['BANDSIG']()} AS band_sig
+  FROM sigs GROUP BY doc_id, CAST(floor(s / 2.0) AS INT)
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(COUNT(*) AS BIGINT) AS n_buckets
-FROM sigs a JOIN sigs b
-  ON a.s = b.s AND a.mh = b.mh AND a.doc_id < b.doc_id
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id ORDER BY doc_a, doc_b"""
     if name == "dedup_ngram_jaccard":
+        # Jaccard over DISCRIMINATIVE shingles: shingles with df > 50
+        # are dropped from the universe before the self-join (they make
+        # the join quadratic at scale and carry no near-dup signal) —
+        # mirrors operators/pipeline.ngram_jaccard_pairs(max_shingle_df)
         return f"""
 WITH {_shingle_cte(d)[1:]},
-shc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shingles GROUP BY doc_id),
+keep AS (SELECT sh FROM shingles GROUP BY sh HAVING COUNT(*) <= 50),
+shf AS (SELECT s.doc_id, s.sh FROM shingles s JOIN keep k ON s.sh = k.sh),
+shc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shf GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS i
-  FROM shingles a JOIN shingles b
+  FROM shf a JOIN shf b
     ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )

@@ -64,18 +64,17 @@ def shingles(
     )
 
 
-def minhash_lsh_pairs(
+def minhash_signatures(
     docs: DataFrame, n_hashes: int = 8, shingle_n: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
-    """MinHash signatures (one band per hash — the SQL contract's shape)
-    → candidate pairs: (doc_a, doc_b, n_buckets). Min over
-    ``md5(seed || ':' || shingle)`` per seed, identical to the oracle."""
+    """Per-(doc, seed) MinHash: min over ``md5(seed || ':' || shingle)``
+    — identical construction to the SQL oracle. (doc_id, s, mh)."""
     sh = shingles(docs, shingle_n, text_col, id_col)
     seeds = sh.sparkSession.range(n_hashes).select(
         F.col("id").cast("int").alias("s")
     )
-    sigs = (
+    return (
         sh.crossJoin(F.broadcast(seeds))
         .select(
             "doc_id", "s",
@@ -85,12 +84,52 @@ def minhash_lsh_pairs(
         .groupBy("doc_id", "s")
         .agg(F.min("h").alias("mh"))
     )
-    a, b = sigs.alias("a"), sigs.alias("b")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, n_hashes: int = 8, rows_per_band: int = 2,
+    shingle_n: int = 3, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded MinHash LSH candidate pairs: (doc_a, doc_b, n_buckets).
+
+    Signatures are grouped into ``b = n_hashes / rows_per_band`` bands of
+    ``r = rows_per_band`` minhashes each; a pair is a candidate only when
+    ALL r rows of some band match (band-signature equality). r >= 2 is
+    what makes this scale: with r = 1 any two docs sharing ONE minhash
+    (any pair sharing any hot shingle) collide, and the self-join on the
+    hottest (s, mh) bucket goes quadratic on a near-dup-rich corpus. With
+    r rows the collision probability is sim^r per band — Zipf-head
+    shingles no longer create mega-buckets (standard b×r S-curve,
+    Leskovec/Rajaraman/Ullman MMDS ch.3).
+
+    ``n_buckets`` counts matching bands (1..b).
+    """
+    if n_hashes % rows_per_band != 0:
+        raise ValueError("n_hashes must be a multiple of rows_per_band")
+    sigs = minhash_signatures(docs, n_hashes, shingle_n, text_col, id_col)
+    bands = (
+        sigs.withColumn(
+            "band", (F.col("s") / F.lit(rows_per_band)).cast("int")
+        )
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("s", "mh"))
+                    ),
+                    lambda x: x["mh"],
+                ),
+                ":",
+            ).alias("band_sig")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.mh") == F.col("b.mh"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
@@ -104,9 +143,24 @@ def minhash_lsh_pairs(
 def ngram_jaccard_pairs(
     docs: DataFrame, shingle_n: int = 3, min_jaccard: float = 0.0,
     text_col: str = "text", id_col: str = "doc_id",
+    max_shingle_df: int | None = 10_000,
 ) -> DataFrame:
-    """Shingle-set Jaccard similarity for pairs sharing >= 1 shingle."""
+    """Shingle-set Jaccard similarity for pairs sharing >= 1 shingle.
+
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    documents from the shingle universe BEFORE the self-join (both the
+    intersection and the set sizes — a consistent "Jaccard over
+    discriminative shingles" semantic). Without it, one Zipf-head
+    shingle ("of the and"-type 3-grams) makes the self-join quadratic in
+    its df; such shingles carry no near-dup signal. Pass ``None`` to
+    disable (exact all-shingle Jaccard; only safe on small corpora).
+    """
     sh = shingles(docs, shingle_n, text_col, id_col)
+    if max_shingle_df is not None:
+        keep = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df")).filter(
+            F.col("_df") <= max_shingle_df
+        ).select("sh")
+        sh = sh.join(keep, "sh")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         sh.alias("a")

@@ -69,7 +69,7 @@ def test_simhash_matches_sql(spark, docs):
 
 
 def test_jaccard_matches_sql(spark, docs):
-    api = P.ngram_jaccard_pairs(docs).toPandas()
+    api = P.ngram_jaccard_pairs(docs, max_shingle_df=50).toPandas()
     api = api.sort_values(
         ["jaccard", "doc_a", "doc_b"], ascending=[False, True, True]
     ).head(100).reset_index(drop=True)
@@ -187,3 +187,62 @@ def test_phash_near_dup_self(spark):
     clone_pairs = {(r.id_a, r.id_b) for r in pairs.itertuples()}
     for mid in range(12):
         assert (mid, mid + 1000) in clone_pairs
+
+
+# ---------------------------------------------------------------------------
+# scale-shape guards: banding/df-capping must bound candidate explosion
+# ---------------------------------------------------------------------------
+
+def _skew_fixture(spark):
+    """40 docs sharing one hot 3-gram but otherwise pairwise-unrelated,
+    plus one true near-dup pair (docs 1000/1001)."""
+    hot = "the common phrase"
+    rows = [
+        (i, f"{hot} unique{i}a unique{i}b unique{i}c unique{i}d "
+            f"unique{i}e unique{i}f unique{i}g")
+        for i in range(40)
+    ]
+    dup = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+           "lambda mu")
+    rows += [(1000, dup), (1001, dup + " extraword")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_banding_bounds_hot_shingle_candidates(spark):
+    """r=2 banding: docs sharing ONE hot shingle (but nothing else) must
+    not explode into O(n^2) candidate pairs — with one-row bands (r=1)
+    every pair of the 40 hot-shingle docs collides whenever the hot
+    shingle wins a seed's min; with 2-row bands both seeds of some band
+    must agree."""
+    docs = _skew_fixture(spark)
+    banded = P.minhash_lsh_pairs(docs, n_hashes=8, rows_per_band=2)
+    pairs = {(r.doc_a, r.doc_b) for r in banded.collect()}
+    assert (1000, 1001) in pairs  # true near-dups survive
+    cross = [p for p in pairs if p[0] < 1000 and p[1] < 1000]
+    # r=1 baseline for contrast: reconstruct one-band-per-hash pairs
+    sigs = P.minhash_signatures(docs, n_hashes=8)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    r1 = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.mh") == F.col("b.mh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct().collect()
+    )
+    r1_cross = [r for r in r1 if r.doc_a < 1000 and r.doc_b < 1000]
+    assert len(r1_cross) > 100          # the r=1 shape DOES explode
+    assert len(cross) < len(r1_cross) / 10   # banding bounds it
+
+
+def test_jaccard_df_cap_bounds_hot_shingle_join(spark):
+    """Dropping shingles with df > max_shingle_df keeps the self-join
+    size proportional to true near-dup mass, not hot-shingle df^2."""
+    docs = _skew_fixture(spark)
+    capped = P.ngram_jaccard_pairs(docs, max_shingle_df=5)
+    pairs = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert (1000, 1001) in pairs
+    assert all(p == (1000, 1001) for p in pairs)  # no hot-shingle pairs
+    uncapped = P.ngram_jaccard_pairs(docs, max_shingle_df=None)
+    n_uncapped = uncapped.count()
+    assert n_uncapped > 700  # 40*39/2 hot pairs + the dup pair
