@@ -29,6 +29,12 @@ from dataclasses import dataclass, field
 class BM25Config:
     k1: float = 0.9
     b: float = 0.4
+    #: score with Lucene's SmallFloat 4-bit quantized doclen norms
+    #: (functions/smallfloat.py) instead of exact doclen — required when
+    #: validating against true Lucene runs (the reference's committed
+    #: ColBERT-PRF-VirtualAppendix/BM25/*.res goldens); off by default
+    #: (SURVEY.md §4: exact doclen is the engine's native semantics).
+    smallfloat_norms: bool = False
 
 
 @dataclass(frozen=True)

@@ -17,9 +17,12 @@ Operator coverage (SURVEY.md §2 IDs in parens):
   doc_lengths(X2) term_df(X3/S11) global_stats(X4/X8) bm25_topk(Q3/Q4)
   lmdir_topk(Q5) lmjm_topk(Q6) tfidf_topk(Q7) trec_run(S9-shape)
   eval_metrics(E1-E5) eval_summary(E6) qpp_nqc_avgidf(P1/P3)
-  bigram_top100(T5) plus training-data-pipeline ops: text_quality,
-  lang_id, doc_fingerprint, dedup_exact_prefix, dedup_minhash_lsh,
-  dedup_ngram_jaccard, dedup_simhash, ann_cosine_topk, events_hourly.
+  bigram_top100(T5) induce_scores(Q8) run_rank_distance(C9)
+  run_rbo(C8) retrieval_events_join(cross-source) plus
+  training-data-pipeline ops: text_quality, lang_id, doc_fingerprint,
+  dedup_exact_prefix, dedup_minhash_lsh (b×r banded),
+  dedup_ngram_jaccard (df-capped), dedup_simhash, ann_cosine_topk,
+  ann_lsh_topk, token_stats, events_hourly, events_sessionize.
 """
 
 from __future__ import annotations
@@ -574,6 +577,99 @@ ranked AS (
 )
 SELECT qvec, nvec, rank, sim FROM ranked WHERE rank <= 5
 ORDER BY qvec, rank"""
+    if name == "induce_scores":
+        # Q8 ScoreInducer: recompute scores under ANOTHER model (LM-JM)
+        # for exactly the (qid, doc) pairs of the BM25 top-10 run — pairs
+        # with no term overlap under the new model induce 0
+        return base + f""",
+run AS (SELECT qid, doc_id, rank FROM ranked WHERE rank <= 10),
+ind AS (
+  SELECT qid, doc_id, SUM(qtf * ({LMJM})) AS s
+  FROM hits CROSS JOIN g GROUP BY qid, doc_id
+)
+SELECT r.qid, r.doc_id, r.rank,
+       round(COALESCE(i.s, 0), 4) AS ind_score
+FROM run r LEFT JOIN ind i ON r.qid = i.qid AND r.doc_id = i.doc_id
+ORDER BY r.qid, r.rank"""
+    if name == "run_rank_distance":
+        # C9 DataFrame form over two real runs (BM25 vs LM-JM top-10),
+        # reproducing the reference's position-in-SORTED-BY-ID-B quirk
+        return base + f""",
+scored2 AS (
+  SELECT qid, doc_id, SUM(qtf * ({LMJM})) AS score
+  FROM hits CROSS JOIN g GROUP BY qid, doc_id
+),
+ranked2 AS (
+  SELECT qid, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY round(score, 4) DESC, doc_id ASC
+         ) AS INT) AS rank
+  FROM scored2
+),
+ra AS (SELECT qid, doc_id, rank - 1 AS pos_a FROM ranked WHERE rank <= 10),
+rb AS (
+  SELECT qid, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY doc_id
+         ) AS INT) - 1 AS pos_b
+  FROM ranked2 WHERE rank <= 10
+),
+nq AS (SELECT qid, CAST(COUNT(*) AS DOUBLE) AS n FROM ra GROUP BY qid)
+SELECT ra.qid,
+       round(sqrt(SUM(POWER((pos_a - pos_b) / nq.n, 2)) / MAX(nq.n)), 4)
+         AS rank_dist
+FROM ra JOIN rb ON ra.qid = rb.qid AND ra.doc_id = rb.doc_id
+JOIN nq ON ra.qid = nq.qid
+GROUP BY ra.qid ORDER BY ra.qid"""
+    if name == "run_rbo":
+        # C8 rank-biased overlap (p=.9, depth 10) between the BM25 and
+        # LM-JM top-10 lists: rbo = (1-p) Σ_d p^(d-1) · |A_d ∩ B_d| / d
+        return base + f""",
+scored2 AS (
+  SELECT qid, doc_id, SUM(qtf * ({LMJM})) AS score
+  FROM hits CROSS JOIN g GROUP BY qid, doc_id
+),
+ranked2 AS (
+  SELECT qid, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY round(score, 4) DESC, doc_id ASC
+         ) AS INT) AS rank
+  FROM scored2
+),
+ra AS (SELECT qid, doc_id, rank FROM ranked WHERE rank <= 10),
+rb AS (SELECT qid, doc_id, rank FROM ranked2 WHERE rank <= 10),
+depths AS (SELECT {D['EXPLODE'](D['SEQ']('1', '10'))} AS d),
+ov AS (
+  SELECT a.qid, d.d, CAST(COUNT(*) AS DOUBLE) AS ov
+  FROM ra a
+  JOIN rb b ON a.qid = b.qid AND a.doc_id = b.doc_id
+  JOIN depths d ON a.rank <= d.d AND b.rank <= d.d
+  GROUP BY a.qid, d.d
+),
+qd AS (
+  SELECT q.qid, d.d FROM (SELECT DISTINCT qid FROM ra) q CROSS JOIN depths d
+)
+SELECT qd.qid,
+       round(0.1 * SUM(POWER(0.9, qd.d - 1) * COALESCE(ov.ov, 0) / qd.d), 4)
+         AS rbo
+FROM qd LEFT JOIN ov ON qd.qid = ov.qid AND qd.d = ov.d
+GROUP BY qd.qid ORDER BY qd.qid"""
+    if name == "retrieval_events_join":
+        # cross-source enrichment: BM25 top-10 joined with per-doc event
+        # volume (deterministic user_id -> doc_id mapping mod n_docs)
+        return base + """,
+run AS (SELECT qid, doc_id, rank FROM ranked WHERE rank <= 10),
+ev AS (
+  SELECT CAST(user_id % g.n_docs AS BIGINT) AS doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         round(SUM(value), 4) AS sum_value
+  FROM events CROSS JOIN g GROUP BY CAST(user_id % g.n_docs AS BIGINT)
+)
+SELECT r.qid, r.doc_id, r.rank,
+       COALESCE(e.n_events, 0) AS n_events,
+       COALESCE(e.sum_value, 0) AS sum_value
+FROM run r LEFT JOIN ev e ON r.doc_id = e.doc_id
+ORDER BY r.qid, r.rank"""
     if name == "events_sessionize":
         ep = D["EPOCH"]("ts")
         return f"""
@@ -622,6 +718,8 @@ QUERY_NAMES = [
     "dedup_exact_prefix", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash", "ann_cosine_topk", "events_hourly",
     "qpp_maxidf", "token_stats", "ann_lsh_topk", "events_sessionize",
+    "induce_scores", "run_rank_distance", "run_rbo",
+    "retrieval_events_join",
 ]
 
 

@@ -1,0 +1,213 @@
+"""Byte-pair-encoding subword tokenization (T4) — train + encode, engine
+style.
+
+Reference flow (``/root/reference/tokenization/bpe_msmarco.sh:1-63``):
+train a BPE model on the collection text (YouTokenToMe), re-encode every
+passage as whitespace-joined subword units, index the encoded text with
+a WhitespaceAnalyzer, then sweep LM-Dirichlet μ over the subword index.
+The engine reproduces that pipeline Spark-first:
+
+- **Train** (Sennrich-style merges): the corpus collapses to a
+  (word, freq) vocabulary via one distinct-aggregation — O(|vocab|)
+  driver rows, NOT O(corpus) — and the merge loop runs driver-side over
+  that weighted vocabulary. At 100 TB the vocabulary table is cut to the
+  ``max_vocab_words`` most frequent words first (they carry ~all the
+  pair mass; standard practice for corpus-level BPE training).
+- **Encode**: the same dictionary trick the english analyzer uses —
+  encode each DISTINCT word once in an Arrow-batched pandas UDF
+  (O(|vocab|) Python, greedy lowest-rank merge like the GPT-2 encoder),
+  then broadcast-join the word→subwords dictionary onto the corpus and
+  explode. No per-token Python ever runs.
+
+Determinism: merge ties break on the lexicographically smallest pair, so
+training is partitioning- and platform-independent.
+"""
+
+from __future__ import annotations
+
+import json
+from collections import Counter
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+END = "</w>"  # end-of-word marker: lets merges distinguish suffixes
+
+
+def _word_freqs(
+    docs: DataFrame, text_col: str, max_vocab_words: int
+) -> list[tuple[str, int]]:
+    wf = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("w"))
+        .limit(max_vocab_words)
+        .collect()
+    )
+    return [(r["w"], int(r["freq"])) for r in wf]
+
+
+@dataclass
+class BPEModel:
+    """Ordered merge rules; rank = training order (lower merges first)."""
+
+    merges: list[tuple[str, str]] = field(default_factory=list)
+
+    @property
+    def ranks(self) -> dict[tuple[str, str], int]:
+        return {pair: i for i, pair in enumerate(self.merges)}
+
+    def encode_word(self, word: str) -> list[str]:
+        """Greedy lowest-rank merging (the GPT-2 encoder loop)."""
+        if not word:
+            return []
+        ranks = self.ranks
+        parts = list(word) + [END]
+        while len(parts) > 1:
+            best, best_rank = None, None
+            for i in range(len(parts) - 1):
+                r = ranks.get((parts[i], parts[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = i, r
+            if best is None:
+                break
+            parts = (
+                parts[:best]
+                + [parts[best] + parts[best + 1]]
+                + parts[best + 2:]
+            )
+        # surface form: strip the end-of-word marker
+        out = [p[: -len(END)] if p.endswith(END) else p for p in parts]
+        return [p for p in out if p]
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump({"merges": self.merges}, f)
+
+    @classmethod
+    def load(cls, path: str) -> "BPEModel":
+        with open(path) as f:
+            data = json.load(f)
+        return cls(merges=[tuple(m) for m in data["merges"]])
+
+
+def train_bpe(
+    docs: DataFrame,
+    num_merges: int = 1000,
+    text_col: str = "text",
+    max_vocab_words: int = 100_000,
+) -> BPEModel:
+    """Learn ``num_merges`` merge rules from the corpus word frequencies."""
+    vocab = {
+        tuple(list(w) + [END]): f
+        for w, f in _word_freqs(docs, text_col, max_vocab_words)
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: Counter = Counter()
+        for word, freq in vocab.items():
+            for i in range(len(word) - 1):
+                pairs[(word[i], word[i + 1])] += freq
+        if not pairs:
+            break
+        # deterministic: max count, ties to lexicographically smallest
+        best_count = max(pairs.values())
+        best_pair = min(p for p, c in pairs.items() if c == best_count)
+        if best_count < 2:
+            break
+        merges.append(best_pair)
+        merged = best_pair[0] + best_pair[1]
+        new_vocab = {}
+        for word, freq in vocab.items():
+            out, i = [], 0
+            while i < len(word):
+                if (
+                    i + 1 < len(word)
+                    and (word[i], word[i + 1]) == best_pair
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            new_vocab[tuple(out)] = freq
+        vocab = new_vocab
+    return BPEModel(merges=merges)
+
+
+def _encode_dictionary(
+    spark: SparkSession, docs: DataFrame, model: BPEModel, text_col: str
+) -> DataFrame:
+    """(w, subs array<string>) for every distinct corpus word — the
+    O(|vocab|) Python step, Arrow-batched."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    merges = model.merges  # closure ships via broadcast-pickled task
+
+    @pandas_udf(ArrayType(StringType()))
+    def enc(words):
+        m = BPEModel(merges=merges)
+        return words.map(m.encode_word)
+
+    distinct_words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    return distinct_words.select("w", enc(F.col("w")).alias("subs"))
+
+
+def bpe_encode_tokens(
+    docs: DataFrame, model: BPEModel, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, term) subword occurrence stream — order-free, feeds tf
+    aggregation / index builds directly."""
+    dic = _encode_dictionary(docs.sparkSession, docs, model, text_col)
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    return words.join(F.broadcast(dic), "w").select(
+        "doc_id", F.explode("subs").alias("term")
+    )
+
+
+def bpe_encode_text(
+    docs: DataFrame, model: BPEModel, text_col: str = "text",
+    id_col: str = "doc_id", out_col: str = "bpe_text",
+) -> DataFrame:
+    """(doc_id, bpe_text): each document re-written as whitespace-joined
+    subword units in original word order — the exact artifact the
+    reference indexes with its WhitespaceAnalyzer
+    (bpe_msmarco.sh's encoded collection file)."""
+    dic = _encode_dictionary(docs.sparkSession, docs, model, text_col)
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+            "pos", "w"
+        ),
+    ).filter(F.col("w") != "")
+    joined = words.join(F.broadcast(dic), "w").select(
+        "doc_id", "pos", F.array_join("subs", " ").alias("enc")
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "enc"))),
+                    lambda x: x["enc"],
+                ),
+                " ",
+            ).alias(out_col)
+        )
+    )

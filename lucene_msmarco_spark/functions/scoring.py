@@ -56,6 +56,13 @@ def bm25_weight(
 ) -> Column:
     avg = F.lit(avgdl) if not isinstance(avgdl, Column) else avgdl
     k1, b = F.lit(cfg.k1), F.lit(cfg.b)
+    if cfg.smallfloat_norms:
+        # Lucene norm semantics: score with the byte4 round-tripped
+        # doclen (what searcher.search actually uses), enabling
+        # validation against true Lucene golden runs
+        from .smallfloat import smallfloat4_doclen
+
+        doclen = smallfloat4_doclen(doclen)
     denom = tf + k1 * (F.lit(1.0) - b + b * doclen / avg)
     return idf_bm25(df, n_docs) * tf * (k1 + F.lit(1.0)) / denom
 

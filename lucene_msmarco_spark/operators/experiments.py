@@ -105,6 +105,37 @@ def qpp_experiment(
     }
 
 
+def mu_sweep(
+    index: InvertedIndex,
+    queries: DataFrame,
+    qrels: DataFrame,
+    mus: tuple[float, ...] = (100.0, 500.0, 1000.0, 2000.0),
+    metric_col: str = "map",
+    k: int = 100,
+) -> dict:
+    """LM-Dirichlet μ sweep: retrieve + evaluate per μ, pick the best —
+    the reference's BPE-index tuning loop
+    (``tokenization/bpe_msmarco.sh:29-63`` retrieves and trec_evals per
+    μ over the subword-encoded index). Works over ANY index, including a
+    BPE-encoded whitespace-analyzed one (functions/bpe.py).
+
+    Returns {"best_mu", "best_metric", "metrics": {mu: value}}.
+    """
+    from dataclasses import replace
+
+    from ..config import LMDirichletConfig
+    from .eval import compute_all
+
+    out: dict[float, float] = {}
+    for mu in mus:
+        cfg = replace(EngineConfig(), lmdir=LMDirichletConfig(mu=mu))
+        run = search(index, queries, model="lmdir", k=k, cfg=cfg)
+        summary = compute_all(run, qrels).collect()[0]
+        out[mu] = float(summary[metric_col])
+    best = max(out, key=lambda m: (out[m], -m))
+    return {"best_mu": best, "best_metric": out[best], "metrics": out}
+
+
 def grid_search_lambda(
     base_est: DataFrame,
     base_col: str,

@@ -38,6 +38,11 @@ Query side:
   (docs + ranks, scores to float tolerance) to the exhaustive path, which
   stays the default: the safe-pruning property means both return the
   same top-k (SURVEY.md §4 BMW row).
+- ``encode_postings_segmented`` — the scale layout: doc-range segments
+  (Lucene's segment model) bound every build/query task at
+  docs-per-segment regardless of term skew; ``bmw_search`` detects the
+  layout and runs WAND per (qid, segment) + exact global merge instead
+  of one all-postings task per qid.
 """
 
 from __future__ import annotations
@@ -49,7 +54,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import BM25Config
@@ -70,7 +75,13 @@ POSTINGS_SCHEMA = (
 
 _PARTIAL_SCHEMA = "salt int, " + POSTINGS_SCHEMA
 
+#: doc-range-segmented layout (Lucene's segment model): one row per
+#: (term, segment); df/cf are PER-SEGMENT, ``gdf`` is the term's GLOBAL
+#: df (needed for IDF at query time without a cross-segment join).
+SEGMENTED_SCHEMA = "segment int, " + POSTINGS_SCHEMA + ", gdf long"
+
 DEFAULT_BLOCK_SIZE = 128
+DEFAULT_N_SEGMENTS = 32
 
 
 # ---------------------------------------------------------------------------
@@ -192,6 +203,54 @@ def encode_postings(
     return cold_final.unionByName(hot_final)
 
 
+def encode_postings_segmented(
+    tokens: DataFrame,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    n_segments: int = DEFAULT_N_SEGMENTS,
+) -> DataFrame:
+    """tokens(term, doc_id, tf, doclen) -> doc-range-segmented postings.
+
+    The doc-id space is cut into ``n_segments`` equal ranges (Lucene's
+    segment model); each (term, segment) pair becomes ONE compressed
+    blob row. Per-task memory at build AND query time is therefore
+    bounded by docs-per-segment regardless of term skew — a Zipf-head
+    term that matches every document still yields ``n_segments``
+    independent rows, never one giant blob (the scale fix for the
+    unsegmented ``bmw_search``'s all-postings-per-qid task shape;
+    reference analog: per-segment posting files under
+    ``indexing/MsMarcoIndexer.java:54-59``'s IndexWriter).
+
+    ``gdf`` (global df) is attached at build time so query-time IDF
+    needs no cross-segment aggregation.
+    """
+    max_doc = tokens.agg(F.max("doc_id")).collect()[0][0]
+    if max_doc is None:
+        max_doc = 0
+    seg = F.floor(
+        F.col("doc_id") * F.lit(int(n_segments)) / F.lit(int(max_doc) + 1)
+    ).cast("int")
+    seeded = tokens.withColumn("segment", seg)
+
+    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["doc_id"].values, kind="stable")
+        docs = pdf["doc_id"].values[order].astype(np.int64)
+        tfs = pdf["tf"].values[order].astype(np.int64)
+        dls = pdf["doclen"].values[order].astype(np.int64)
+        fields = _encode_arrays(docs, tfs, dls, block_size)
+        names = [c.split(" ")[0]
+                 for c in ("segment int, " + POSTINGS_SCHEMA).split(", ")]
+        return pd.DataFrame(
+            [(int(key[1]), key[0], int(docs.size), int(tfs.sum()), *fields)],
+            columns=names,
+        )
+
+    partials = seeded.groupBy("term", "segment").applyInPandas(
+        encode, schema="segment int, " + POSTINGS_SCHEMA
+    )
+    gdf = tokens.groupBy("term").agg(F.count(F.lit(1)).alias("gdf"))
+    return partials.join(gdf, "term")
+
+
 def postings_to_tokens(postings: DataFrame) -> DataFrame:
     """Exhaustive decode: postings -> (term, doc_id, tf, doclen) rows."""
 
@@ -232,18 +291,29 @@ class CompactIndex:
     stats: GlobalStats
     analyzer: str = "english"
 
+    @property
+    def segmented(self) -> bool:
+        return "segment" in self.postings.columns
+
     @classmethod
     def from_index(
         cls, idx: InvertedIndex, block_size: int = DEFAULT_BLOCK_SIZE,
         salt_df_threshold: int = 250_000, n_salts: int = 32,
+        n_segments: int | None = None,
     ) -> "CompactIndex":
-        return cls(
-            postings=encode_postings(
+        """``n_segments``: build the doc-range-segmented layout instead
+        of one blob per term (recommended for BMW at scale — see
+        encode_postings_segmented)."""
+        if n_segments is not None:
+            postings = encode_postings_segmented(
+                idx.tokens, block_size, n_segments
+            )
+        else:
+            postings = encode_postings(
                 idx.tokens, block_size, salt_df_threshold, n_salts
-            ),
-            stats=idx.stats,
-            analyzer=idx.analyzer,
-        )
+            )
+        return cls(postings=postings, stats=idx.stats,
+                   analyzer=idx.analyzer)
 
     def save(self, path: str) -> None:
         """Persist as a parquet postings table + a stats sidecar — the
@@ -286,7 +356,13 @@ class CompactIndex:
         doc_stats = tokens.groupBy("doc_id").agg(
             F.first("doclen").alias("doclen")
         )
-        term_stats = self.postings.select("term", "df", "cf")
+        if self.segmented:
+            # df/cf are per-segment rows; term stats are their sums
+            term_stats = self.postings.groupBy("term").agg(
+                F.sum("df").alias("df"), F.sum("cf").alias("cf")
+            )
+        else:
+            term_stats = self.postings.select("term", "df", "cf")
         return InvertedIndex(
             docs=docs, tokens=tokens, doc_stats=doc_stats,
             term_stats=term_stats, stats=self.stats, analyzer=self.analyzer,
@@ -448,10 +524,45 @@ def bmw_search(
     qt = qt.withColumn(
         "qw", (F.col("qtf") * F.col("weight")).cast("double")
     ).select("qid", "term", "qw")
-    joined = compact.postings.join(F.broadcast(qt), "term")
 
     s = compact.stats
     k1, b, avgdl, n_docs = cfg.k1, cfg.b, s.avgdl, float(s.n_docs)
+
+    if compact.segmented:
+        # doc-range-segmented fast path: one WAND task per (qid,
+        # segment) — a task holds at most one segment's share of each
+        # query term's postings (docs-per-segment bound, Zipf-proof) —
+        # then an exact global merge over ≤ k·n_segments candidates per
+        # query. Per-segment WAND is safe pruning within its segment, and
+        # segments partition the doc space, so union-of-local-top-k ⊇
+        # global top-k and the merged result is exact.
+        posts = compact.postings.drop("df").withColumnRenamed("gdf", "df")
+        joined = posts.join(F.broadcast(qt), "term")
+
+        def run_seg(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            hits = _wand_one_query(
+                list(pdf.itertuples()), k, k1, b, avgdl, n_docs
+            )
+            return pd.DataFrame({
+                "qid": np.repeat(key[0], len(hits)),
+                "doc_id": np.array([d for d, _ in hits], dtype=np.int64),
+                "score": np.array([sc for _, sc in hits],
+                                  dtype=np.float64),
+            })
+
+        local = joined.groupBy("qid", "segment").applyInPandas(
+            run_seg, schema="qid string, doc_id long, score double"
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            local.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "doc_id", "rank", "score")
+        )
+
+    joined = compact.postings.join(F.broadcast(qt), "term")
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         hits = _wand_one_query(

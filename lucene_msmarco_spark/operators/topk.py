@@ -19,7 +19,6 @@ Two physical strategies, result-identical:
 
 from __future__ import annotations
 
-import heapq
 from collections.abc import Iterator
 
 import pandas as pd
@@ -56,49 +55,40 @@ def topk_two_phase(
     qid_col: str = "qid",
     doc_col: str = "doc_id",
 ) -> DataFrame:
-    """Phase 1: partition-local heaps (no shuffle). Phase 2: global merge."""
+    """Phase 1: partition-local top-k (no shuffle). Phase 2: global merge.
+
+    The partition-local cut is fully VECTORIZED: per Arrow batch, the
+    surviving candidates are concatenated with the batch, sorted once by
+    (qid, score desc, doc asc) — pandas column sort, no per-row Python —
+    and cut to k per qid with a groupby head. Memory stays bounded at
+    k x (#qids in partition) + one batch, same as the old per-row heap,
+    but ~vectorization-factor faster (the per-row heapq loop was the
+    bench's worst scaler at 0.69).
+    """
     schema = scored.select(qid_col, doc_col, score_col).schema
 
-    def local_heaps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # heap per qid within this partition; (score, -doc_id is wrong for
-        # string docs) -> keep (score asc, doc desc) ordering via tuple so
-        # heappushpop evicts the worst (lowest score, then highest doc).
-        heaps: dict[object, list] = {}
+    def _cut(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [qid_col, score_col, doc_col],
+            ascending=[True, False, True],
+        )
+        return pdf.groupby(qid_col, sort=False).head(k)
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kept: pd.DataFrame | None = None
         for pdf in batches:
-            for qid, doc, sc in zip(
-                pdf[qid_col].values, pdf[doc_col].values, pdf[score_col].values
-            ):
-                h = heaps.setdefault(qid, [])
-                item = (sc, _NegOrd(doc), doc)
-                if len(h) < k:
-                    heapq.heappush(h, item)
-                else:
-                    heapq.heappushpop(h, item)
-        rows = [
-            (qid, it[2], it[0]) for qid, h in heaps.items() for it in h
-        ]
-        yield pd.DataFrame(rows, columns=[qid_col, doc_col, score_col])
+            pdf = pdf[[qid_col, doc_col, score_col]]
+            merged = pdf if kept is None else pd.concat(
+                [kept, pdf], ignore_index=True
+            )
+            kept = _cut(merged)
+        if kept is not None and len(kept):
+            yield kept
 
     reduced = scored.select(qid_col, doc_col, score_col).mapInPandas(
-        local_heaps, schema=schema
+        local_topk, schema=schema
     )
     return _ranked(reduced, k, score_col, qid_col, doc_col)
-
-
-class _NegOrd:
-    """Inverts ordering so the min-heap evicts (low score, HIGH doc_id)
-    first, matching the (score desc, doc_id asc) global tie-break."""
-
-    __slots__ = ("v",)
-
-    def __init__(self, v):
-        self.v = v
-
-    def __lt__(self, other):
-        return other.v < self.v
-
-    def __eq__(self, other):
-        return self.v == other.v
 
 
 def topk(

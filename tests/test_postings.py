@@ -260,3 +260,67 @@ def test_search_from_rehydrated_blobs(spark, idx, compact):
     redone = search(re_idx, qdf, model="bm25", k=20).orderBy(
         "qid", "rank").collect()
     _runs_equal(exact, redone)
+
+
+# ---------------------------------------------------------------------------
+# doc-range-segmented layout (the BMW scale path)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def compact_seg(idx):
+    return CompactIndex.from_index(idx, block_size=16, n_segments=4)
+
+
+@pytest.mark.parametrize("k", [3, 10, 50])
+def test_bmw_segmented_equals_exhaustive(spark, idx, compact_seg, k):
+    qdf = spark.createDataFrame(QUERIES, "qid string, qtext string")
+    cfg = BM25Config(k1=0.9, b=0.4)
+    exact = (
+        search(idx, qdf, model="bm25", k=k)
+        .orderBy("qid", "rank").collect()
+    )
+    qt = compile_queries(qdf, analyzer="english")
+    bmw = (
+        bmw_search(compact_seg, qt, k=k, cfg=cfg)
+        .orderBy("qid", "rank").collect()
+    )
+    _runs_equal(exact, bmw)
+
+
+def test_segmented_rows_bounded_and_disjoint(idx, compact_seg, tokens_pd):
+    """The anti-Zipf guarantee: every (term, segment) blob holds only
+    that segment's doc range — no row (hence no WAND task input) ever
+    exceeds docs-per-segment, even for a term matching every doc."""
+    n_segments = 4
+    max_doc = int(tokens_pd["doc_id"].max())
+    seg_cap = (max_doc + 1 + n_segments - 1) // n_segments
+    rows = compact_seg.postings.collect()
+    truth_df = tokens_pd.groupby("term")["doc_id"].count().to_dict()
+    per_term_entries: dict = {}
+    for r in rows:
+        assert r.n_entries <= seg_cap
+        from lucene_msmarco_spark.operators.postings import _decode_row
+        docs, tfs, dls = _decode_row(r)
+        lo = r.segment * (max_doc + 1) / n_segments
+        hi = (r.segment + 1) * (max_doc + 1) / n_segments
+        assert (docs >= lo).all() and (docs < hi).all()
+        assert r.gdf == truth_df[r.term]
+        per_term_entries[r.term] = per_term_entries.get(r.term, 0) + int(
+            r.n_entries
+        )
+    assert per_term_entries == {t: int(c) for t, c in truth_df.items()}
+
+
+def test_segmented_save_load_roundtrip(spark, idx, compact_seg, tmp_path):
+    path = str(tmp_path / "cidx_seg")
+    compact_seg.save(path)
+    loaded = CompactIndex.load(spark, path)
+    assert loaded.segmented
+    qdf = spark.createDataFrame(QUERIES[:2], "qid string, qtext string")
+    qt = compile_queries(qdf, analyzer="english")
+    cfg = BM25Config(k1=0.9, b=0.4)
+    a = bmw_search(compact_seg, qt, k=10, cfg=cfg).orderBy(
+        "qid", "rank").collect()
+    b = bmw_search(loaded, qt, k=10, cfg=cfg).orderBy(
+        "qid", "rank").collect()
+    _runs_equal(a, b)
