@@ -44,6 +44,15 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # shuffle/spill scratch on tmpfs when available: the sandbox's
+        # shared virtual disk stalls unpredictably under host load and
+        # serializes shuffle-write-bound stages; tmpfs stands in for the
+        # fast local NVMe a real executor would own (override with
+        # SPARK_LOCAL_DIRS or LMS_SPARK_LOCAL_DIR)
+        .config("spark.local.dir", os.environ.get(
+            "LMS_SPARK_LOCAL_DIR",
+            "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+        ))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
