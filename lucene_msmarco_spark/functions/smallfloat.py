@@ -77,6 +77,29 @@ def py_quantize(i: int) -> int:
     return py_byte4_to_int(py_int_to_byte4(i))
 
 
+def np_quantize(doclen):
+    """Vectorized ``py_quantize`` over an int array (numpy) — used by the
+    compact-postings scoring paths so ``BM25Config.smallfloat_norms``
+    gives identical scores whether the engine scores through Catalyst
+    columns (``bm25_weight``) or inside an Arrow task (``bmw_search``).
+
+    frexp's exponent IS the exact bit length for integers < 2**53, so the
+    top-4-bit truncation is two exact integer shifts.
+    """
+    import numpy as np
+
+    dls = np.asarray(doclen).astype(np.int64)
+    out = dls.copy()
+    # free values (< 24) and subnormals (j < 8) are stored exactly
+    mask = dls >= NUM_FREE_VALUES + 8
+    if mask.any():
+        j = dls[mask] - NUM_FREE_VALUES
+        nbits = np.frexp(j.astype(np.float64))[1]  # exact bit length
+        shift = (nbits - 4).astype(np.int64)
+        out[mask] = NUM_FREE_VALUES + ((j >> shift) << shift)
+    return out
+
+
 def smallfloat4_doclen(doclen: Column) -> Column:
     """Column form of ``py_quantize`` — all JVM, codegen-friendly.
 

@@ -238,13 +238,16 @@ def _english_index_parts(
        O(|vocab|) Python rows, independent of corpus size; stopwords map
        to NULL.
     3. Broadcast the dictionary onto the tf table; inner join drops
-       stopwords; a second partial-agged (doc_id, term) aggregation
-       merges raws sharing a stem.
-    4. doclen = Σ tf per doc (one aggregated row per DOCUMENT, not per
-       posting) joins back onto tf — Catalyst/AQE picks a broadcast join
-       while the per-doc side fits (until ~10^9 docs; beyond that AQE
-       falls back to a shuffle join of the skinny doclen table, still
-       far cheaper than re-shuffling the postings).
+       stopwords; then ONE repartition by doc_id feeds BOTH the
+       stem-merge aggregation (groupBy(doc_id, term) — satisfied by
+       hash(doc_id) partitioning, no extra exchange) AND the doclen
+       window (sum(tf) over partitionBy(doc_id) — same partitioning).
+    4. doclen therefore rides along with NO per-doc join at all. This
+       matters twice over at scale: a doclen join either broadcasts an
+       O(n_docs) side (impossible at 10^9 docs) or SortMergeJoin-
+       re-shuffles the postings at query time (the round-2 plan
+       regression caught by tests/test_plans.py); the window form is a
+       partition-local sort of the already-shuffled skinny tf table.
 
     Returns (doc_stats(doc_id, doclen), tokens(term, doc_id, tf,
     doclen)).
@@ -274,22 +277,32 @@ def _english_index_parts(
     # the (doc_id, term) aggregation merges distinct raws sharing a stem
     # ("running"/"runs" -> "run"), summing like Lucene when the filter
     # chain emits equal terms.
+    # Repartition the mapped (doc_id, term, tf_raw) rows by doc_id ONCE;
+    # hash(doc_id) satisfies the ClusteredDistribution of both the
+    # (doc_id, term) stem-merge aggregation and the per-doc window below,
+    # so neither inserts a further exchange. The trade (vs letting
+    # groupBy shuffle on (doc_id, term)): the exchange ships raw-level
+    # rows without a map-side combine for the stem merge — but stems
+    # rarely collide within one doc, so that combine saved ~nothing,
+    # while the doclen join it replaces was a real query-time
+    # SortMergeJoin of the postings at scale.
     tf = (
         raw_tf.join(F.broadcast(dictionary), "raw")
+        .select("doc_id", "term", "tf_raw")
+        .repartition("doc_id")
         .groupBy("doc_id", "term")
         .agg(F.sum("tf_raw").cast("long").alias("tf"))
         .persist()
     )
-    # doclen joins back at one row per DOCUMENT, not per posting;
-    # Catalyst/AQE picks a broadcast join while the per-doc side fits
-    # (it does until ~10^9 docs; beyond that AQE falls back to a shuffle
-    # join of the skinny doclen table — still far cheaper than the old
-    # plan's re-shuffle of the full postings table).
+    # doclen = Σ tf over the doc, as a window over the SAME partitioning
+    # — no join, no broadcast, no re-shuffle; just a partition-local
+    # sort by doc_id (WindowExec's requirement).
+    tokens = tf.withColumn(
+        "doclen",
+        F.sum("tf").over(Window.partitionBy("doc_id")).cast("long"),
+    ).select("term", "doc_id", "tf", "doclen")
     doclens = tf.groupBy("doc_id").agg(
         F.sum("tf").cast("long").alias("doclen")
-    )
-    tokens = tf.join(doclens, "doc_id").select(
-        "term", "doc_id", "tf", "doclen"
     )
     # docs whose text analyzes to zero tokens vanish in the explode;
     # the left join restores them with doclen=0
@@ -324,10 +337,10 @@ def build_index(
     reference implementation both are tested equal against)."""
     if analyzer == "english" and english_strategy == "dictionary":
         # doclen (Lucene norm semantics: post-StopFilter token count —
-        # MsMarcoIndexer.java:142 setOmitNorms(false)) is computed per-doc
-        # inside the tokenize projection, so postings carry it with NO
-        # doc-stats join, and doc_stats itself is shuffle-free. Docs whose
-        # text analyzes to zero tokens keep doclen=0.
+        # MsMarcoIndexer.java:142 setOmitNorms(false)) rides along via a
+        # window over the tf table's own doc_id partitioning, so postings
+        # carry it with NO doc-stats join in the query-time plan. Docs
+        # whose text analyzes to zero tokens keep doclen=0 in doc_stats.
         doc_stats, tokens = _english_index_parts(
             docs, text_col, fold_numbers
         )
