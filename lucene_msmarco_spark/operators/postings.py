@@ -41,8 +41,11 @@ Query side:
 - ``encode_postings_segmented`` — the scale layout: doc-range segments
   (Lucene's segment model) bound every build/query task at
   docs-per-segment regardless of term skew; ``bmw_search`` detects the
-  layout and runs WAND per (qid, segment) + exact global merge instead
-  of one all-postings task per qid.
+  layout and runs the batched scatter-gather scorer (one task per
+  segment scoring the whole broadcast query batch, decode amortized
+  across queries) + exact global merge instead of one all-postings task
+  per qid. See BASELINE.md "BMW crossover analysis" for why batch
+  scoring beats doc-at-a-time WAND under an all-or-nothing blob codec.
 """
 
 from __future__ import annotations
@@ -207,6 +210,7 @@ def encode_postings_segmented(
     tokens: DataFrame,
     block_size: int = DEFAULT_BLOCK_SIZE,
     n_segments: int = DEFAULT_N_SEGMENTS,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """tokens(term, doc_id, tf, doclen) -> doc-range-segmented postings.
 
@@ -220,35 +224,49 @@ def encode_postings_segmented(
     reference analog: per-segment posting files under
     ``indexing/MsMarcoIndexer.java:54-59``'s IndexWriter).
 
-    ``gdf`` (global df) is attached at build time so query-time IDF
-    needs no cross-segment aggregation.
+    ``n_docs``: pass ``GlobalStats.n_docs`` (doc ids are dense 0-based)
+    to skip the fallback max(doc_id) pass over the tokens table.
+
+    One shuffle total: tokens group ONCE by segment; each segment task
+    encodes all of its terms' blobs with a pandas groupby (task memory =
+    one segment's tokens — the same docs-per-segment bound the query
+    side relies on). ``gdf`` (global df, for query-time IDF without a
+    cross-segment join) is a window sum over the already-tiny blob rows
+    — not a second aggregation pass over the tokens table.
     """
-    max_doc = tokens.agg(F.max("doc_id")).collect()[0][0]
-    if max_doc is None:
-        max_doc = 0
-    seg = F.floor(
-        F.col("doc_id") * F.lit(int(n_segments)) / F.lit(int(max_doc) + 1)
+    if n_docs is None:
+        max_doc = tokens.agg(F.max("doc_id")).collect()[0][0]
+        n_docs = 0 if max_doc is None else int(max_doc) + 1
+    seg = F.least(
+        F.floor(
+            F.col("doc_id") * F.lit(int(n_segments))
+            / F.lit(max(int(n_docs), 1))
+        ),
+        F.lit(int(n_segments) - 1),
     ).cast("int")
     seeded = tokens.withColumn("segment", seg)
+    names = [c.split(" ")[0]
+             for c in ("segment int, " + POSTINGS_SCHEMA).split(", ")]
 
-    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        order = np.argsort(pdf["doc_id"].values, kind="stable")
-        docs = pdf["doc_id"].values[order].astype(np.int64)
-        tfs = pdf["tf"].values[order].astype(np.int64)
-        dls = pdf["doclen"].values[order].astype(np.int64)
-        fields = _encode_arrays(docs, tfs, dls, block_size)
-        names = [c.split(" ")[0]
-                 for c in ("segment int, " + POSTINGS_SCHEMA).split(", ")]
-        return pd.DataFrame(
-            [(int(key[1]), key[0], int(docs.size), int(tfs.sum()), *fields)],
-            columns=names,
-        )
+    def encode_segment(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for term, g in pdf.groupby("term", sort=False):
+            order = np.argsort(g["doc_id"].values, kind="stable")
+            docs = g["doc_id"].values[order].astype(np.int64)
+            tfs = g["tf"].values[order].astype(np.int64)
+            dls = g["doclen"].values[order].astype(np.int64)
+            fields = _encode_arrays(docs, tfs, dls, block_size)
+            rows.append(
+                (int(key[0]), term, int(docs.size), int(tfs.sum()), *fields)
+            )
+        return pd.DataFrame(rows, columns=names)
 
-    partials = seeded.groupBy("term", "segment").applyInPandas(
-        encode, schema="segment int, " + POSTINGS_SCHEMA
+    partials = seeded.groupBy("segment").applyInPandas(
+        encode_segment, schema="segment int, " + POSTINGS_SCHEMA
     )
-    gdf = tokens.groupBy("term").agg(F.count(F.lit(1)).alias("gdf"))
-    return partials.join(gdf, "term")
+    return partials.withColumn(
+        "gdf", F.sum("df").over(Window.partitionBy("term"))
+    )
 
 
 def postings_to_tokens(postings: DataFrame) -> DataFrame:
@@ -306,7 +324,8 @@ class CompactIndex:
         encode_postings_segmented)."""
         if n_segments is not None:
             postings = encode_postings_segmented(
-                idx.tokens, block_size, n_segments
+                idx.tokens, block_size, n_segments,
+                n_docs=idx.stats.n_docs,
             )
         else:
             postings = encode_postings(
@@ -377,11 +396,20 @@ class _Cursor:
     __slots__ = ("docs", "tfs", "dls", "block_last", "bmax_tf", "bmin_dl",
                  "idf", "qw", "pos", "block_size", "ub")
 
-    def __init__(self, row, idf: float, qw: float):
+    def __init__(self, row, idf: float, qw: float, quantize: bool = False):
         self.docs, self.tfs, self.dls = _decode_row(row)
         self.block_last = np.asarray(row.block_last, dtype=np.int64)
         self.bmax_tf = np.asarray(row.block_max_tf, dtype=np.int64)
         self.bmin_dl = np.asarray(row.block_min_dl, dtype=np.int64)
+        if quantize:
+            # SmallFloat4 norm semantics (BM25Config.smallfloat_norms):
+            # score with quantized doclens. Quantization is monotone
+            # nondecreasing, so quantize(min dl) <= all quantized dls and
+            # the block-max bounds below stay safe.
+            from ..functions.smallfloat import np_quantize
+
+            self.dls = np_quantize(self.dls)
+            self.bmin_dl = np_quantize(self.bmin_dl)
         self.block_size = int(row.block_size)
         self.idf = idf
         self.qw = qw
@@ -408,14 +436,15 @@ def _impact(tf: float, dl: float, k1: float, b: float, avgdl: float) -> float:
 
 
 def _wand_one_query(
-    rows: list, k: int, k1: float, b: float, avgdl: float, n_docs: float
+    rows: list, k: int, k1: float, b: float, avgdl: float, n_docs: float,
+    quantize: bool = False,
 ) -> list[tuple[int, float]]:
     """rows: postings rows with .qw (query multiplicity x boost). Returns
     [(doc_id, score)] of the exact top-k under (score desc, doc asc)."""
     cursors: list[_Cursor] = []
     for r in rows:
         idf = math.log(1.0 + (n_docs - r.df + 0.5) / (r.df + 0.5))
-        c = _Cursor(r, idf, float(r.qw))
+        c = _Cursor(r, idf, float(r.qw), quantize=quantize)
         if c.docs.size:
             c.ub = c.qw * idf * float(
                 np.max([
@@ -507,16 +536,23 @@ def bmw_search(
     """BM25 top-k via Block-Max WAND over the compressed postings.
 
     ``query_terms``: (qid, term, qtf[, weight]) — the compiled query bag
-    (operators/retrieval.compile_queries). One ``applyInPandas`` group per
-    qid; within a group the WAND cursors skip whole blocks whose summed
-    block-max bounds cannot enter the current top-k (safe pruning: output
-    is identical to exhaustive scoring). Returns (qid, doc_id, rank,
-    score).
+    (operators/retrieval.compile_queries). Returns (qid, doc_id, rank,
+    score), identical to exhaustive BM25 scoring (safe pruning /
+    exact-by-construction in the segmented batch path).
 
-    Scale shape: the postings⨝query-terms join broadcasts the tiny query
-    bag; only matching term rows shuffle (grouped by qid), so shuffle
-    volume is Σ_q Σ_t |postings(t)| *blobs* (compressed), not decoded
-    rows.
+    Two layouts, two strategies:
+    - segmented (recommended): batched scatter-gather — the query batch
+      broadcasts to one task per segment; each matched (term, segment)
+      blob is decoded and impact-scored once for ALL queries; shuffle
+      volume is only the <= k x n_segments local winners per query.
+    - unsegmented: per-qid doc-at-a-time Block-Max WAND; cursors skip
+      whole blocks whose summed block-max bounds cannot enter the
+      current top-k. The postings⨝query-terms join broadcasts the tiny
+      query bag; matching blob rows shuffle grouped by qid.
+
+    ``cfg.smallfloat_norms`` is honored on both paths (doclens — and on
+    the WAND path the block-min-dl bounds, safely, by monotonicity —
+    are SmallFloat4-quantized before scoring).
     """
     qt = query_terms
     if "weight" not in qt.columns:
@@ -528,30 +564,111 @@ def bmw_search(
     s = compact.stats
     k1, b, avgdl, n_docs = cfg.k1, cfg.b, s.avgdl, float(s.n_docs)
 
-    if compact.segmented:
-        # doc-range-segmented fast path: one WAND task per (qid,
-        # segment) — a task holds at most one segment's share of each
-        # query term's postings (docs-per-segment bound, Zipf-proof) —
-        # then an exact global merge over ≤ k·n_segments candidates per
-        # query. Per-segment WAND is safe pruning within its segment, and
-        # segments partition the doc space, so union-of-local-top-k ⊇
-        # global top-k and the merged result is exact.
-        posts = compact.postings.drop("df").withColumnRenamed("gdf", "df")
-        joined = posts.join(F.broadcast(qt), "term")
+    quantize = cfg.smallfloat_norms
 
-        def run_seg(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            hits = _wand_one_query(
-                list(pdf.itertuples()), k, k1, b, avgdl, n_docs
+    if compact.segmented:
+        # Doc-range-segmented BATCH path — the measured-fast form (see
+        # BASELINE.md "BMW crossover analysis"): one task per SEGMENT
+        # scoring the WHOLE query batch, then an exact global merge.
+        #
+        # Why not per-(qid, segment) WAND: the blob codec decodes a
+        # (term, segment) row all-or-nothing, so doc-at-a-time skipping
+        # saves only post-decode arithmetic while paying a Python inner
+        # loop per candidate — measured 4.8x SLOWER than exhaustive at
+        # sf0.1. Amortization is the real lever: broadcasting the query
+        # batch and grouping by segment decodes + impact-scores each
+        # matched (term, segment) blob ONCE for ALL queries that use the
+        # term (query-count-independent decode cost), and the postings
+        # never get replicated per qid through a shuffle at all — the
+        # only shuffled rows are the <= k x n_segments local winners per
+        # query. Per-query scoring is then pure vectorized numpy over
+        # presorted arrays. Segments partition the doc space, so
+        # union-of-local-top-k >= global top-k and the merge is exact.
+        spark = qt.sparkSession
+        qt_pdf = qt.toPandas()  # the query batch is driver-sized
+        if qt_pdf.empty:
+            return spark.createDataFrame(
+                [], "qid string, doc_id long, rank int, score double"
             )
+        qids: list[str] = []
+        qindex: dict[str, int] = {}
+        term_to_q: dict[str, list[tuple[int, float]]] = {}
+        for r in qt_pdf.itertuples():
+            qi = qindex.setdefault(r.qid, len(qids))
+            if qi == len(qids):
+                qids.append(r.qid)
+            term_to_q.setdefault(r.term, []).append((qi, float(r.qw)))
+        bq = spark.sparkContext.broadcast((qids, term_to_q))
+
+        posts = compact.postings.drop("df").withColumnRenamed("gdf", "df")
+        terms_df = spark.createDataFrame(
+            [(t,) for t in term_to_q], "term string"
+        )
+        matched = posts.join(F.broadcast(terms_df), "term", "left_semi")
+
+        def run_segment(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            from ..functions.smallfloat import np_quantize
+
+            qids_l, t2q = bq.value
+            acc_d: list[list[np.ndarray]] = [[] for _ in qids_l]
+            acc_s: list[list[np.ndarray]] = [[] for _ in qids_l]
+            for r in pdf.itertuples():
+                docs, tfs, dls = _decode_row(r)
+                if docs.size == 0:
+                    continue
+                if quantize:
+                    dls = np_quantize(dls)
+                idf = math.log(
+                    1.0 + (n_docs - r.df + 0.5) / (r.df + 0.5)
+                )
+                tff = tfs.astype(np.float64)
+                dlf = dls.astype(np.float64)
+                contrib = idf * tff * (k1 + 1.0) / (
+                    tff + k1 * (1.0 - b + b * dlf / avgdl)
+                )
+                for qi, qw in t2q[r.term]:
+                    acc_d[qi].append(docs)
+                    acc_s[qi].append(
+                        contrib if qw == 1.0 else qw * contrib
+                    )
+            out_q, out_d, out_s = [], [], []
+            for qi, dlist in enumerate(acc_d):
+                if not dlist:
+                    continue
+                if len(dlist) == 1:
+                    # single matched term: postings already unique+sorted
+                    uniq, sums = dlist[0], acc_s[qi][0]
+                else:
+                    d = np.concatenate(dlist)
+                    s = np.concatenate(acc_s[qi])
+                    order = np.argsort(d, kind="stable")
+                    d, s = d[order], s[order]
+                    starts = np.flatnonzero(
+                        np.concatenate(([True], d[1:] != d[:-1]))
+                    )
+                    uniq = d[starts]
+                    sums = np.add.reduceat(s, starts)
+                if uniq.size > k:
+                    # exact (score desc, doc asc) local top-k
+                    sel = np.lexsort((uniq, -sums))[:k]
+                    uniq, sums = uniq[sel], sums[sel]
+                out_q.append(np.repeat(qids_l[qi], uniq.size))
+                out_d.append(uniq)
+                out_s.append(sums)
+            if not out_q:
+                return pd.DataFrame({
+                    "qid": pd.Series([], dtype=object),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="float64"),
+                })
             return pd.DataFrame({
-                "qid": np.repeat(key[0], len(hits)),
-                "doc_id": np.array([d for d, _ in hits], dtype=np.int64),
-                "score": np.array([sc for _, sc in hits],
-                                  dtype=np.float64),
+                "qid": np.concatenate(out_q),
+                "doc_id": np.concatenate(out_d).astype(np.int64),
+                "score": np.concatenate(out_s).astype(np.float64),
             })
 
-        local = joined.groupBy("qid", "segment").applyInPandas(
-            run_seg, schema="qid string, doc_id long, score double"
+        local = matched.groupBy("segment").applyInPandas(
+            run_segment, schema="qid string, doc_id long, score double"
         )
         w = Window.partitionBy("qid").orderBy(
             F.desc("score"), F.asc("doc_id")
@@ -566,7 +683,8 @@ def bmw_search(
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         hits = _wand_one_query(
-            list(pdf.itertuples()), k, k1, b, avgdl, n_docs
+            list(pdf.itertuples()), k, k1, b, avgdl, n_docs,
+            quantize=quantize,
         )
         return pd.DataFrame({
             "qid": np.repeat(key[0], len(hits)),

@@ -287,6 +287,31 @@ def test_bmw_segmented_equals_exhaustive(spark, idx, compact_seg, k):
     _runs_equal(exact, bmw)
 
 
+@pytest.mark.parametrize("seg", [False, True])
+def test_bmw_smallfloat_equals_exhaustive(spark, idx, compact, compact_seg,
+                                          seg):
+    """BM25Config.smallfloat_norms must mean the same thing on every
+    scoring surface: exhaustive Catalyst scoring (bm25_weight's
+    smallfloat4_doclen column) and both compact-postings paths (batched
+    segmented scorer, unsegmented WAND — which must also quantize its
+    block-min-dl bounds) produce identical runs under the flag."""
+    from lucene_msmarco_spark.config import EngineConfig
+
+    cfg = BM25Config(k1=0.9, b=0.4, smallfloat_norms=True)
+    qdf = spark.createDataFrame(QUERIES, "qid string, qtext string")
+    exact = (
+        search(idx, qdf, model="bm25", k=10, cfg=EngineConfig(bm25=cfg))
+        .orderBy("qid", "rank").collect()
+    )
+    qt = compile_queries(qdf, analyzer="english")
+    compact_x = compact_seg if seg else compact
+    bmw = (
+        bmw_search(compact_x, qt, k=10, cfg=cfg)
+        .orderBy("qid", "rank").collect()
+    )
+    _runs_equal(exact, bmw)
+
+
 def test_segmented_rows_bounded_and_disjoint(idx, compact_seg, tokens_pd):
     """The anti-Zipf guarantee: every (term, segment) blob holds only
     that segment's doc range — no row (hence no WAND task input) ever
