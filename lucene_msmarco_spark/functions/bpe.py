@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 from collections import Counter
 from dataclasses import dataclass, field
+from functools import cached_property
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -58,8 +59,11 @@ class BPEModel:
 
     merges: list[tuple[str, str]] = field(default_factory=list)
 
-    @property
+    @cached_property
     def ranks(self) -> dict[tuple[str, str], int]:
+        # cached: encode_word runs once per distinct corpus word inside the
+        # Arrow UDF — rebuilding the O(num_merges) dict per word would cost
+        # O(|vocab| x num_merges) dict insertions per batch worker
         return {pair: i for i, pair in enumerate(self.merges)}
 
     def encode_word(self, word: str) -> list[str]:

@@ -143,17 +143,20 @@ def minhash_lsh_pairs(
 def ngram_jaccard_pairs(
     docs: DataFrame, shingle_n: int = 3, min_jaccard: float = 0.0,
     text_col: str = "text", id_col: str = "doc_id",
-    max_shingle_df: int | None = 10_000,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Shingle-set Jaccard similarity for pairs sharing >= 1 shingle.
 
-    ``max_shingle_df`` drops shingles appearing in more than that many
-    documents from the shingle universe BEFORE the self-join (both the
-    intersection and the set sizes — a consistent "Jaccard over
-    discriminative shingles" semantic). Without it, one Zipf-head
-    shingle ("of the and"-type 3-grams) makes the self-join quadratic in
-    its df; such shingles carry no near-dup signal. Pass ``None`` to
-    disable (exact all-shingle Jaccard; only safe on small corpora).
+    The default (``max_shingle_df=None``) is EXACT all-shingle Jaccard —
+    correct but quadratic in the df of the hottest shingle, so only safe
+    on small corpora. AT SCALE YOU MUST SET ``max_shingle_df``: it drops
+    shingles appearing in more than that many documents from the shingle
+    universe BEFORE the self-join (both the intersection and the set
+    sizes — a consistent "Jaccard over discriminative shingles"
+    semantic). One Zipf-head shingle ("of the and"-type 3-grams) makes
+    the self-join quadratic in its df and carries no near-dup signal.
+    The ``dedup_ngram_jaccard`` contract query uses 50 (sized to the
+    sf0.01 corpus); size the cap to your corpus.
     """
     sh = shingles(docs, shingle_n, text_col, id_col)
     if max_shingle_df is not None:

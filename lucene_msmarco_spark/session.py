@@ -14,6 +14,30 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_local_dir() -> str:
+    """Shuffle/spill scratch dir.
+
+    Tmpfs trades RAM for shuffle I/O: this sandbox's shared virtual disk
+    stalls unpredictably under host load and serializes shuffle-write-bound
+    stages, so /dev/shm stands in for the fast local NVMe a real executor
+    would own. The trade-off: spill onto RAM-backed tmpfs consumes memory,
+    so a large shuffle under pressure can OOM the host instead of spilling
+    to disk — we therefore only pick tmpfs when it currently has plenty of
+    headroom (>= 32 GiB free), and a deployment should simply leave this
+    unset so executors use their own disks (set ``SPARK_LOCAL_DIRS``
+    cluster-side, or ``LMS_SPARK_LOCAL_DIR`` here, to pin explicitly —
+    the memory sizing knob ``SPARK_DRIVER_MEM`` lives next to this).
+    """
+    env = os.environ.get("LMS_SPARK_LOCAL_DIR")
+    if env:
+        return env
+    if os.path.isdir("/dev/shm"):
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize >= 32 * 2**30:
+            return "/dev/shm/spark-local"
+    return "/tmp"
+
+
 def build_session(
     app_name: str = "lucene-msmarco-spark",
     master: str | None = None,
@@ -44,15 +68,9 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
-        # shuffle/spill scratch on tmpfs when available: the sandbox's
-        # shared virtual disk stalls unpredictably under host load and
-        # serializes shuffle-write-bound stages; tmpfs stands in for the
-        # fast local NVMe a real executor would own (override with
-        # SPARK_LOCAL_DIRS or LMS_SPARK_LOCAL_DIR)
-        .config("spark.local.dir", os.environ.get(
-            "LMS_SPARK_LOCAL_DIR",
-            "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
-        ))
+        # shuffle/spill scratch — see _default_local_dir for the tmpfs
+        # trade-off and the LMS_SPARK_LOCAL_DIR / SPARK_LOCAL_DIRS override
+        .config("spark.local.dir", _default_local_dir())
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
