@@ -20,9 +20,17 @@ _MAX_BYTES = 10  # ceil(64/7)
 
 def varint_encode(values: np.ndarray) -> bytes:
     """uint64-compatible 1-D array -> LEB128 byte stream."""
+    return varint_encode_with_sizes(values)[0]
+
+
+def varint_encode_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode and also return bytes-per-value (int64 array), so a
+    caller encoding the CONCATENATION of many streams can split the
+    output buffer back into per-stream blobs (the batch-encode dual of
+    varint_decode_counts)."""
     v = np.asarray(values).astype(np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     # bytes needed per value: max(1, ceil(bit_length / 7))
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
@@ -45,7 +53,7 @@ def varint_encode(values: np.ndarray) -> bytes:
         )
         more = (nbytes[sel] - 1) > j
         out[pos[sel] + j] = byte | (more.astype(np.uint8) << 7)
-    return out.tobytes()
+    return out.tobytes(), nbytes
 
 
 def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
@@ -79,3 +87,54 @@ def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
 
 def delta_decode(deltas: np.ndarray) -> np.ndarray:
     return np.cumsum(np.asarray(deltas, dtype=np.int64))
+
+
+def delta_encode_segmented(
+    sorted_ids: np.ndarray, counts: np.ndarray
+) -> np.ndarray:
+    """Per-stream delta encode over concatenated streams (lengths
+    ``counts``): successive gaps within each stream, absolute first
+    value at every stream boundary. Inverse of delta_decode_segmented."""
+    a = np.asarray(sorted_ids, dtype=np.int64)
+    n = np.asarray(counts, dtype=np.int64)
+    n = n[n > 0]
+    if a.size == 0:
+        return a
+    out = np.empty_like(a)
+    out[1:] = a[1:] - a[:-1]
+    starts = np.concatenate(([0], np.cumsum(n)[:-1]))
+    out[starts] = a[starts]
+    return out
+
+
+def varint_decode_counts(buf: bytes, counts: np.ndarray) -> np.ndarray:
+    """Decode the CONCATENATION of many varint streams in one vectorized
+    pass. LEB128 is self-delimiting, so the concatenated buffer decodes
+    to the concatenation of the per-stream values; ``counts`` (values per
+    stream) only validates the total and lets callers split the result.
+
+    This is the batch fast path for blob-at-a-time posting decodes: one
+    decode of N small blobs costs ~N x the numpy fixed overhead, while
+    one decode of their concatenation costs it once (measured 3.1s ->
+    ~0.3s over 54k blobs in the segmented BMW scorer)."""
+    out = varint_decode(buf)
+    total = int(np.asarray(counts, dtype=np.int64).sum())
+    if out.size != total:
+        raise ValueError(f"decoded {out.size} values, expected {total}")
+    return out
+
+
+def delta_decode_segmented(deltas: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Per-stream delta decode over concatenated streams: within each
+    stream (lengths ``counts``) the first value is absolute and the rest
+    are gaps — i.e. a cumsum that restarts at every stream boundary,
+    computed as one global cumsum minus the per-stream prefix."""
+    d = np.asarray(deltas, dtype=np.int64)
+    n = np.asarray(counts, dtype=np.int64)
+    n = n[n > 0]
+    if d.size == 0:
+        return d
+    c = np.cumsum(d)
+    starts = np.concatenate(([0], np.cumsum(n)[:-1]))
+    prefix = np.concatenate(([0], c[starts[1:] - 1]))
+    return c - np.repeat(prefix, n)
