@@ -547,25 +547,50 @@ SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars2
 FROM documents ORDER BY doc_id"""
     if name == "ann_lsh_topk":
-        # axis-aligned LSH: bucket = sign bits of the first 8 dims;
-        # candidate pairs share a bucket; exact cosine within the bucket
-        bits = " + ".join(
-            f"(CASE WHEN {D['AT']('embedding', i + 1)} >= 0 "
-            f"THEN {1 << i} ELSE 0 END)"
-            for i in range(8)
+        # multi-table random-hyperplane LSH (operators/pipeline.py
+        # lsh_bucket): per table t, bit_i = [round(v . g_ti, 6) >= 0]
+        # over seeded Gaussian directions (random_hyperplanes — the SAME
+        # planes, inlined here as literals); bucket packs the table id
+        # above the sign bits; candidates = pairs sharing ANY table's
+        # bucket, deduped, then exact cosine
+        from .operators.pipeline import random_hyperplanes  # noqa: PLC0415
+
+        n_bits, n_tables = 8, 4
+        planes = random_hyperplanes(64, n_bits, n_tables)
+        arr = (lambda v: "array(" + ", ".join(
+            f"CAST({x} AS DOUBLE)" for x in v) + ")") if d == "spark" else (
+            lambda v: "[" + ", ".join(str(x) for x in v) + "]")
+
+        def bucket_expr(t: int) -> str:
+            bits = " + ".join(
+                f"(CASE WHEN round({D['DOT']('embedding', arr(planes[t, i]))}"
+                f", 6) >= 0 THEN {1 << i} ELSE 0 END)"
+                for i in range(n_bits)
+            )
+            return f"CAST({(t << n_bits)} + {bits} AS BIGINT)"
+
+        tables = "\n  UNION ALL ".join(
+            f"SELECT vec_id, {bucket_expr(t)} AS bucket FROM embeddings"
+            for t in range(n_tables)
         )
         dot_ab = D["DOT"]("a.embedding", "b.embedding")
         dot_aa = D["DOT"]("a.embedding", "a.embedding")
         dot_bb = D["DOT"]("b.embedding", "b.embedding")
         return f"""
-WITH b AS (
-  SELECT vec_id, embedding, CAST({bits} AS INT) AS bucket FROM embeddings
+WITH bk AS (
+  {tables}
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS qvec, y.vec_id AS nvec
+  FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+  WHERE x.vec_id < 20
 ),
 sims AS (
-  SELECT a.vec_id AS qvec, b.vec_id AS nvec,
+  SELECT c.qvec, c.nvec,
          {dot_ab} / (sqrt({dot_aa}) * sqrt({dot_bb})) AS sim
-  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
-  WHERE a.vec_id < 20
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.qvec
+  JOIN embeddings b ON b.vec_id = c.nvec
 ),
 ranked AS (
   SELECT qvec, nvec,

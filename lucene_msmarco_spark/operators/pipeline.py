@@ -11,6 +11,8 @@ bounded by banding/bucketing so they scale as O(candidates), not O(n²).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -266,33 +268,98 @@ def ann_brute_topk(
     )
 
 
+#: seed of the shared random-hyperplane family (entry_queries embeds the
+#: SAME planes as literals in the dual-dialect SQL contract query, so the
+#: DataFrame API and the DuckDB oracle bucket identically)
+LSH_SEED = 20260817
+
+
+def random_hyperplanes(
+    d: int, n_bits: int = 8, n_tables: int = 4, seed: int = LSH_SEED,
+) -> np.ndarray:
+    """(n_tables, n_bits, d) Gaussian projection directions, seeded and
+    rounded to 4 decimals so the values survive a round-trip through SQL
+    literals exactly (the oracle query inlines them)."""
+    rng = np.random.default_rng(seed)
+    return np.round(rng.standard_normal((n_tables, n_bits, d)), 4)
+
+
 def lsh_bucket(
     embeddings: DataFrame, n_bits: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    n_tables: int = 1, seed: int = LSH_SEED, multiprobe: int = 0,
 ) -> DataFrame:
-    """Axis-aligned sign-LSH bucket id from the first ``n_bits`` dims
-    (the scale path: candidates only join within a bucket)."""
-    sig = None
-    for i in range(n_bits):
-        term = F.when(
-            F.element_at(F.col(vec_col), i + 1) >= 0, F.lit(1 << i)
-        ).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
+    """Random-hyperplane sign-LSH bucket keys (Charikar SimHash-LSH):
+    bit_i = [round(v . g_i, 6) >= 0] over ``n_bits`` seeded Gaussian
+    directions per table; ``n_tables`` independent tables OR-ed together
+    at candidate time. Output rows (id, vec, bucket) — one per (vector,
+    table[, probe]); ``bucket`` packs the table id above the sign bits
+    so a single equi-join column spans all tables.
+
+    ``multiprobe``: additionally emit, per table, the ``multiprobe``
+    buckets reached by flipping the lowest-|projection| bits (the
+    near-boundary bits most likely to differ for a true neighbor —
+    multi-probe LSH). Use on the QUERY side only; the index side keeps
+    one bucket per table.
+
+    The projection is one numpy matmul per Arrow batch — no per-row
+    Python. The rounding before the sign makes the bit insensitive to
+    sub-ulp summation-order differences vs the SQL oracle's aggregate.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    nb, nt, mp, sd = int(n_bits), int(n_tables), int(multiprobe), int(seed)
+
+    @pandas_udf(ArrayType(LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, d)
+        planes = random_hyperplanes(X.shape[1], nb, nt, sd)
+        proj = np.round(X @ planes.reshape(nt * nb, -1).T, 6)  # (n, nt*nb)
+        bits = (proj >= 0).reshape(-1, nt, nb)
+        weights = 1 << np.arange(nb, dtype=np.int64)
+        base = bits @ weights + (np.arange(nt, dtype=np.int64) << nb)
+        if mp == 0:
+            return pd.Series(list(base))
+        # flip the mp lowest-|proj| bits per (vector, table)
+        flip_order = np.argsort(
+            np.abs(proj).reshape(-1, nt, nb), axis=2, kind="stable"
+        )[:, :, :mp]
+        probes = base[:, :, None] ^ np.take_along_axis(
+            np.broadcast_to(weights, flip_order.shape[:2] + (nb,)),
+            flip_order, axis=2,
+        )
+        return pd.Series(
+            list(np.concatenate([base[:, :, None], probes], axis=2)
+                 .reshape(len(X), -1))
+        )
+
     return embeddings.select(
-        F.col(id_col), F.col(vec_col), sig.cast("int").alias("bucket")
+        F.col(id_col), F.col(vec_col),
+        F.explode(buckets(F.col(vec_col))).alias("bucket"),
     )
 
 
 def ann_lsh_topk(
     embeddings: DataFrame, k: int = 5, n_bits: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    query_filter=None,
+    query_filter=None, n_tables: int = 4, seed: int = LSH_SEED,
+    multiprobe: int = 0,
 ) -> DataFrame:
-    """Approximate cosine top-k within LSH buckets (all-pairs form).
+    """Approximate cosine top-k over multi-table random-hyperplane LSH
+    buckets: candidates are vector pairs sharing ANY table's bucket
+    (union across tables, deduplicated before the exact cosine), plus
+    multi-probe expansion on the query side when ``multiprobe`` > 0.
     ``query_filter``: optional Column restricting which vectors act as
     queries. Output: (qvec, nvec, rank, sim)."""
-    b = lsh_bucket(embeddings, n_bits, id_col, vec_col)
-    a = b.select(
+    b = lsh_bucket(embeddings, n_bits, id_col, vec_col,
+                   n_tables=n_tables, seed=seed)
+    if multiprobe > 0:
+        a = lsh_bucket(embeddings, n_bits, id_col, vec_col,
+                       n_tables=n_tables, seed=seed, multiprobe=multiprobe)
+    else:
+        a = b
+    a = a.select(
         F.col(id_col).alias("qvec"), F.col(vec_col).alias("qemb"), "bucket"
     )
     if query_filter is not None:
@@ -300,9 +367,16 @@ def ann_lsh_topk(
     c = b.select(
         F.col(id_col).alias("nvec"), F.col(vec_col).alias("nemb"), "bucket"
     )
-    sims = a.join(c, "bucket").filter(
-        F.col("qvec") != F.col("nvec")
-    ).select("qvec", "nvec", _cos(F.col("qemb"), F.col("nemb")).alias("sim"))
+    # dedupe the cross-table candidate union BEFORE the cosine: each pair
+    # is scored once no matter how many tables/probes it collides in
+    pairs = (
+        a.join(c, "bucket")
+        .filter(F.col("qvec") != F.col("nvec"))
+        .dropDuplicates(["qvec", "nvec"])
+    )
+    sims = pairs.select(
+        "qvec", "nvec", _cos(F.col("qemb"), F.col("nemb")).alias("sim")
+    )
     w = Window.partitionBy("qvec").orderBy(F.desc("sim"), F.asc("nvec"))
     return (
         sims.withColumn("rank", F.row_number().over(w))
@@ -314,14 +388,22 @@ def ann_lsh_topk(
 def embedding_near_dup(
     embeddings: DataFrame, min_cosine: float = 0.95, n_bits: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    n_tables: int = 4, seed: int = LSH_SEED,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH buckets."""
-    b = lsh_bucket(embeddings, n_bits, id_col, vec_col)
+    """Embedding-cosine near-duplicate pairs via multi-table
+    random-hyperplane LSH buckets (pair union deduplicated before the
+    exact cosine)."""
+    b = lsh_bucket(embeddings, n_bits, id_col, vec_col,
+                   n_tables=n_tables, seed=seed)
     a = b.select(F.col(id_col).alias("id_a"),
                  F.col(vec_col).alias("ea"), "bucket")
     c = b.select(F.col(id_col).alias("id_b"),
                  F.col(vec_col).alias("eb"), "bucket")
-    pairs = a.join(c, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    pairs = (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     return pairs.select(
         "id_a", "id_b", _cos(F.col("ea"), F.col("eb")).alias("cosine")
     ).filter(F.col("cosine") >= min_cosine)

@@ -102,10 +102,42 @@ def test_ann_lsh_matches_sql_and_is_subset_of_bucketmates(
     sql = _sql(spark, "ann_lsh_topk").toPandas()
     assert api["qvec"].tolist() == sql["qvec"].tolist()
     assert api["nvec"].tolist() == sql["nvec"].tolist()
-    # every returned neighbor shares the query's bucket
-    b = P.lsh_bucket(embeddings).toPandas().set_index("vec_id")["bucket"]
+    # every returned neighbor shares at least one table's bucket
+    bk = P.lsh_bucket(embeddings, n_tables=4).toPandas()
+    by_vec = bk.groupby("vec_id")["bucket"].apply(set)
     for r in api.itertuples():
-        assert b[r.qvec] == b[r.nvec]
+        assert by_vec[r.qvec] & by_vec[r.nvec]
+
+
+def test_ann_lsh_recall_vs_brute(spark, embeddings):
+    # multi-table + multi-probe random-hyperplane LSH recovers >= 0.8 of
+    # the exact cosine top-5 on the clustered fixture embeddings
+    queries = embeddings.filter(F.col("vec_id") < 100)
+    brute = P.ann_brute_topk(embeddings, queries, k=5).toPandas()
+    approx = P.ann_lsh_topk(
+        embeddings, k=5, n_bits=4, n_tables=8, multiprobe=2,
+        query_filter=F.col("qvec") < 100,
+    ).toPandas()
+    truth = set(zip(brute["qvec"], brute["nvec"]))
+    got = set(zip(approx["qvec"], approx["nvec"]))
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, f"recall@5 {recall:.3f}"
+
+
+def test_ann_lsh_multiprobe_no_worse(spark, embeddings):
+    # probing flipped near-boundary bits only ADDS candidates: the
+    # probed result's candidate set is a superset, so per-query top-k
+    # sims are pointwise >= the unprobed ones
+    base = P.ann_lsh_topk(
+        embeddings, k=5, n_bits=6, n_tables=2,
+        query_filter=F.col("qvec") < 30,
+    ).toPandas().set_index(["qvec", "rank"])["sim"]
+    probed = P.ann_lsh_topk(
+        embeddings, k=5, n_bits=6, n_tables=2, multiprobe=2,
+        query_filter=F.col("qvec") < 30,
+    ).toPandas().set_index(["qvec", "rank"])["sim"]
+    joined = base.to_frame("b").join(probed.to_frame("p"), how="left")
+    assert (joined["p"] >= joined["b"] - 1e-12).all()
 
 
 def test_embedding_near_dup_threshold(spark, embeddings):
