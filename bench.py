@@ -148,9 +148,15 @@ def _bench_engine(spark, input_path: str, n_queries: int,
     }
 
     if with_bmw:
-        # Block-Max WAND over the doc-range-segmented compressed postings
-        # vs the exhaustive window path, same query subset (the segmented
-        # encode itself is timed too — it is a real index-build stage)
+        # Segmented batch Block-Max scoring over the compressed postings
+        # vs the exhaustive window path, same query subset, in BOTH
+        # serving shapes: memory-cached (small-corpus shape) and
+        # parquet-backed (the 100-TB shape, where no row-level cache
+        # holds the index). The segmented encode itself is timed too —
+        # it is a real index-build stage.
+        import shutil
+
+        from lucene_msmarco_spark.operators.index import InvertedIndex
         from lucene_msmarco_spark.operators.postings import (
             CompactIndex,
             bmw_search,
@@ -176,6 +182,36 @@ def _bench_engine(spark, input_path: str, n_queries: int,
         timings["exhaustive_subset"] = round(ex_sec, 3)
         out["bmw_queries_per_sec"] = round(n_sub / bmw_sec, 1)
         out["exhaustive_subset_queries_per_sec"] = round(n_sub / ex_sec, 1)
+
+        # disk-backed serving shape
+        tok_pq = os.path.join(SCRATCH, "bench_tokens_pq")
+        blob_pq = os.path.join(SCRATCH, "bench_blobs_pq")
+        shutil.rmtree(tok_pq, ignore_errors=True)
+        shutil.rmtree(blob_pq, ignore_errors=True)
+        idx.tokens.write.parquet(tok_pq)
+        compact.postings.write.parquet(blob_pq)
+        idx_disk = InvertedIndex(
+            docs=idx.docs, tokens=spark.read.parquet(tok_pq),
+            doc_stats=idx.doc_stats, term_stats=idx.term_stats,
+            stats=idx.stats, analyzer=idx.analyzer,
+        )
+        compact_disk = CompactIndex(
+            postings=spark.read.parquet(blob_pq), stats=compact.stats,
+            analyzer=compact.analyzer,
+        )
+        t0 = time.time()
+        bmw_search(compact_disk, qt, k=100).count()
+        bmw_disk_sec = time.time() - t0
+        timings["bmw_search_disk"] = round(bmw_disk_sec, 3)
+        t0 = time.time()
+        search(idx_disk, qsub, model="bm25", k=100,
+               strategy="window").count()
+        ex_disk_sec = time.time() - t0
+        timings["exhaustive_subset_disk"] = round(ex_disk_sec, 3)
+        out["bmw_disk_queries_per_sec"] = round(n_sub / bmw_disk_sec, 1)
+        out["exhaustive_disk_queries_per_sec"] = round(
+            n_sub / ex_disk_sec, 1
+        )
 
     return out
 

@@ -680,93 +680,126 @@ def bmw_search(
             )
 
             qids_l, t2q = bq.value
-            acc_d: list[list[np.ndarray]] = [[] for _ in qids_l]
-            acc_s: list[list[np.ndarray]] = [[] for _ in qids_l]
+            empty = pd.DataFrame({
+                "qi": pd.Series([], dtype="int64"),
+                "docs": pd.Series([], dtype=object),
+                "scores": pd.Series([], dtype=object),
+            })
             counts = pdf["n_entries"].values.astype(np.int64)
             keep = counts > 0
-            if keep.any():
-                # batch decode: ONE vectorized pass over the concatenation
-                # of every blob in this segment (LEB128 self-delimits)
-                # instead of 3 small decodes per blob — the per-call numpy
-                # fixed cost was the measured bottleneck of this task
-                pdk = pdf.loc[keep]
-                cnts = counts[keep]
-                docs_all = delta_decode_segmented(
-                    varint_decode_counts(
-                        b"".join(map(bytes, pdk["doc_blob"])), cnts
-                    ),
-                    cnts,
-                )
-                tff = varint_decode_counts(
-                    b"".join(map(bytes, pdk["tf_blob"])), cnts
-                ).astype(np.float64)
-                dls = varint_decode_counts(
-                    b"".join(map(bytes, pdk["len_blob"])), cnts
-                )
-                if quantize:
-                    dls = np_quantize(dls)
-                dlf = dls.astype(np.float64)
-                dfv = pdk["df"].values.astype(np.float64)
-                idf_b = np.log1p((n_docs - dfv + 0.5) / (dfv + 0.5))
-                contrib_all = np.repeat(idf_b, cnts) * tff * (k1 + 1.0) / (
-                    tff + k1 * (1.0 - b + b * dlf / avgdl)
-                )
-                ends = np.cumsum(cnts)
-                starts = ends - cnts
-                for i, term in enumerate(pdk["term"].values):
-                    docs = docs_all[starts[i]:ends[i]]
-                    contrib = contrib_all[starts[i]:ends[i]]
-                    for qi, qw in t2q[term]:
-                        acc_d[qi].append(docs)
-                        acc_s[qi].append(
-                            contrib if qw == 1.0 else qw * contrib
-                        )
-            out_q, out_d, out_s = [], [], []
-            for qi, dlist in enumerate(acc_d):
-                if not dlist:
-                    continue
-                if len(dlist) == 1:
-                    # single matched term: postings already unique+sorted
-                    uniq, sums = dlist[0], acc_s[qi][0]
-                else:
-                    d = np.concatenate(dlist)
-                    s = np.concatenate(acc_s[qi])
-                    order = np.argsort(d, kind="stable")
-                    d, s = d[order], s[order]
-                    starts = np.flatnonzero(
-                        np.concatenate(([True], d[1:] != d[:-1]))
-                    )
-                    uniq = d[starts]
-                    sums = np.add.reduceat(s, starts)
-                if uniq.size > k:
-                    # exact (score desc, doc asc) local top-k
-                    sel = np.lexsort((uniq, -sums))[:k]
-                    uniq, sums = uniq[sel], sums[sel]
-                out_q.append(np.repeat(qids_l[qi], uniq.size))
-                out_d.append(uniq)
-                out_s.append(sums)
-            if not out_q:
-                return pd.DataFrame({
-                    "qid": pd.Series([], dtype=object),
-                    "doc_id": pd.Series([], dtype="int64"),
-                    "score": pd.Series([], dtype="float64"),
-                })
+            if not keep.any():
+                return empty
+            # batch decode: ONE vectorized pass over the concatenation
+            # of every blob in this segment (LEB128 self-delimits)
+            # instead of 3 small decodes per blob — the per-call numpy
+            # fixed cost was the measured bottleneck of this task
+            pdk = pdf.loc[keep]
+            cnts = counts[keep]
+            docs_all = delta_decode_segmented(
+                varint_decode_counts(
+                    b"".join(map(bytes, pdk["doc_blob"])), cnts
+                ),
+                cnts,
+            )
+            tff = varint_decode_counts(
+                b"".join(map(bytes, pdk["tf_blob"])), cnts
+            ).astype(np.float64)
+            dls = varint_decode_counts(
+                b"".join(map(bytes, pdk["len_blob"])), cnts
+            )
+            if quantize:
+                dls = np_quantize(dls)
+            dlf = dls.astype(np.float64)
+            dfv = pdk["df"].values.astype(np.float64)
+            idf_b = np.log1p((n_docs - dfv + 0.5) / (dfv + 0.5))
+            contrib_all = np.repeat(idf_b, cnts) * tff * (k1 + 1.0) / (
+                tff + k1 * (1.0 - b + b * dlf / avgdl)
+            )
+            ends = np.cumsum(cnts)
+            starts = ends - cnts
+            # expand (term, query) incidence fully vectorized: ONE
+            # lexsort + reduceat scores the WHOLE query batch — no
+            # per-query Python loop (measured bottleneck of the v1 form)
+            pair_t, pair_qi, pair_qw = [], [], []
+            for i, term in enumerate(pdk["term"].values):
+                for qi, qw in t2q[term]:
+                    pair_t.append(i)
+                    pair_qi.append(qi)
+                    pair_qw.append(qw)
+            if not pair_t:
+                return empty
+            pair_t = np.asarray(pair_t, dtype=np.int64)
+            pair_qi = np.asarray(pair_qi, dtype=np.int64)
+            pair_qw = np.asarray(pair_qw, dtype=np.float64)
+            lens = cnts[pair_t]
+            total = int(lens.sum())
+            out_off = np.cumsum(lens) - lens
+            idx = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(out_off, lens)
+                + np.repeat(starts[pair_t], lens)
+            )
+            d_r = docs_all[idx]
+            s_r = contrib_all[idx] * np.repeat(pair_qw, lens)
+            q_r = np.repeat(pair_qi, lens)
+            order = np.lexsort((d_r, q_r))
+            d_r, s_r, q_r = d_r[order], s_r[order], q_r[order]
+            grp = np.flatnonzero(np.concatenate((
+                [True], (q_r[1:] != q_r[:-1]) | (d_r[1:] != d_r[:-1])
+            )))
+            uniq_d = d_r[grp]
+            uniq_q = q_r[grp]
+            sums = np.add.reduceat(s_r, grp)
+            # per-query exact (score desc, doc asc) top-k, still batched:
+            # rank within query via a second lexsort + cumcount mask
+            order2 = np.lexsort((uniq_d, -sums, uniq_q))
+            uniq_d, uniq_q, sums = (
+                uniq_d[order2], uniq_q[order2], sums[order2]
+            )
+            qstarts = np.flatnonzero(np.concatenate(
+                ([True], uniq_q[1:] != uniq_q[:-1])
+            ))
+            pos = (
+                np.arange(uniq_q.size, dtype=np.int64)
+                - np.repeat(qstarts, np.diff(
+                    np.concatenate((qstarts, [uniq_q.size]))
+                ))
+            )
+            m = pos < k
+            uniq_d, uniq_q, sums = uniq_d[m], uniq_q[m], sums[m]
+            # ONE array-valued row per (query, segment): the merge then
+            # moves n_queries x n_segments rows, not k x that many
+            qstarts2 = np.flatnonzero(np.concatenate(
+                ([True], uniq_q[1:] != uniq_q[:-1])
+            ))
             return pd.DataFrame({
-                "qid": np.concatenate(out_q),
-                "doc_id": np.concatenate(out_d).astype(np.int64),
-                "score": np.concatenate(out_s).astype(np.float64),
+                "qi": uniq_q[qstarts2],
+                "docs": np.split(uniq_d, qstarts2[1:]),
+                "scores": np.split(sums, qstarts2[1:]),
             })
 
         local = matched.groupBy("segment").applyInPandas(
-            run_segment, schema="qid string, doc_id long, score double"
+            run_segment,
+            schema="qi long, docs array<long>, scores array<double>",
         )
-        w = Window.partitionBy("qid").orderBy(
-            F.desc("score"), F.asc("doc_id")
-        )
-        return (
-            local.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("qid", "doc_id", "rank", "score")
+
+        def merge_query(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            # segments partition the doc space, so the per-segment lists
+            # are disjoint: the global top-k is a pure selection
+            d = np.concatenate(pdf["docs"].to_numpy())
+            s = np.concatenate(pdf["scores"].to_numpy())
+            sel = np.lexsort((d, -s))[:k]
+            d, s = d[sel], s[sel]
+            return pd.DataFrame({
+                "qid": np.repeat(bq.value[0][int(key[0])], d.size),
+                "doc_id": d.astype(np.int64),
+                "rank": np.arange(1, d.size + 1, dtype=np.int32),
+                "score": s.astype(np.float64),
+            })
+
+        return local.groupBy("qi").applyInPandas(
+            merge_query,
+            schema="qid string, doc_id long, rank int, score double",
         )
 
     joined = compact.postings.join(F.broadcast(qt), "term")
