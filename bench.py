@@ -259,6 +259,22 @@ def run_bench(master: str, input_path: str | None = None,
     return out
 
 
+def _cpu_stat() -> tuple[int, int]:
+    """(total_jiffies, steal_jiffies) from /proc/stat — the sandbox is a
+    shared-host microVM, and steal is the direct measure of how much CPU
+    the host took back during a run."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    steal = vals[7] if len(vals) > 7 else 0
+    return sum(vals), steal
+
+
+def _steal_frac(before: tuple[int, int], after: tuple[int, int]) -> float:
+    dt = after[0] - before[0]
+    return (after[1] - before[1]) / dt if dt > 0 else 0.0
+
+
 def _calib_work(_):
     import hashlib
 
@@ -309,10 +325,12 @@ def scaling() -> None:
     input_path = ensure_input(N_SCALING_TURNS)
     calib = _host_parallel_calibration(SCALING_SMALL, SCALING_BIG)
     results = {}
+    steal: dict[int, list[float]] = {SCALING_SMALL: [], SCALING_BIG: []}
     # interleave levels (small, big, small, big, ...) so a transient busy
     # window on the shared sandbox cannot poison every rep of one level
     for _rep in range(SCALING_REPS):
         for n in (SCALING_SMALL, SCALING_BIG):
+            stat0 = _cpu_stat()
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(n))
             # size the executor heap to the workload (as a real cluster
             # deployment would); measured: an undersized shared heap
@@ -330,6 +348,7 @@ def scaling() -> None:
                 sys.stderr.write(p.stdout + "\n" + p.stderr)
                 raise SystemExit("scaling subprocess produced no JSON")
             r = json.loads(lines[-1])
+            steal[n].append(round(_steal_frac(stat0, _cpu_stat()), 4))
             if n not in results:
                 results[n] = r
             else:
@@ -337,6 +356,7 @@ def scaling() -> None:
                     results[n]["throughput"][k] = max(
                         results[n]["throughput"][k], r["throughput"][k]
                     )
+    calib_after = _host_parallel_calibration(SCALING_SMALL, SCALING_BIG)
     r_s, r_b = results[SCALING_SMALL], results[SCALING_BIG]
     factor = SCALING_BIG / SCALING_SMALL
     eff_idx = (
@@ -376,9 +396,13 @@ def scaling() -> None:
             f"- host CPU parallel efficiency "
             f"{SCALING_SMALL}->{SCALING_BIG}-way (pure-Python md5, "
             f"no Spark; per-task {calib['per_task_sec']}): "
-            f"**{host_eff:.3f}**\n"
+            f"**{host_eff:.3f}** before, "
+            f"**{calib_after['host_cpu_efficiency']:.3f}** after\n"
             f"- host-normalized ENGINE efficiency: index "
             f"**{eng_idx:.3f}**, query **{eng_q:.3f}**\n"
+            f"- hypervisor steal fraction during runs (per rep): "
+            f"local[{SCALING_SMALL}] {steal[SCALING_SMALL]}, "
+            f"local[{SCALING_BIG}] {steal[SCALING_BIG]}\n"
         )
     print(json.dumps({
         "metric": "scaling_efficiency",
@@ -389,6 +413,8 @@ def scaling() -> None:
         "raw_index_efficiency": round(eff_idx, 3),
         "raw_query_efficiency": round(eff_q, 3),
         "host_cpu_efficiency": host_eff,
+        "host_cpu_efficiency_after": calib_after["host_cpu_efficiency"],
+        "steal_frac": {str(k): v for k, v in steal.items()},
         f"local{SCALING_SMALL}": r_s["throughput"],
         f"local{SCALING_BIG}": r_b["throughput"],
     }))

@@ -757,7 +757,46 @@ def _register_views(spark: SparkSession, sf_dir: str) -> None:
             spark.read.parquet(p).createOrReplaceTempView(t)
 
 
+def _bmw_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-postings contract: delta+varint encode the simple-
+    analyzer index into doc-range segments and answer the QUERYSET with
+    the segmented Block-Max path (operators/postings.bmw_search). Must
+    reproduce the ``bm25_topk`` oracle rows exactly — same ranking rule
+    (rounded score desc, doc_id asc), re-applied over the exact-score
+    top-50 so rounded ties order identically."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .operators.index import build_index
+    from .operators.postings import CompactIndex, bmw_search
+    from .operators.retrieval import compile_queries
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = build_index(docs, analyzer="simple", cache=False)
+    compact = CompactIndex.from_index(idx, n_segments=4)
+    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
+    qt = compile_queries(qdf, "simple")
+    run = bmw_search(compact, qt, k=50)
+    w = Window.partitionBy("qid").orderBy(
+        F.round("score", 4).desc(), F.col("doc_id").asc()
+    )
+    return (
+        run.withColumn("rank2", F.row_number().over(w))
+        .filter(F.col("rank2") <= 10)
+        .select(
+            "qid", "doc_id",
+            F.col("rank2").cast("int").alias("rank"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
 def make_spark_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    if name == "bmw_topk":
+        return _bmw_topk_query
+
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _register_views(spark, sf_dir)
         return spark.sql(build_sql(name, "spark"))
@@ -767,8 +806,13 @@ def make_spark_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
 
 
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {n: make_spark_query(n) for n in QUERY_NAMES}
+    out = {n: make_spark_query(n) for n in QUERY_NAMES}
+    out["bmw_topk"] = _bmw_topk_query
+    return out
 
 
 def duckdb_oracles() -> dict[str, str]:
-    return {n: build_sql(n, "duckdb") for n in QUERY_NAMES}
+    out = {n: build_sql(n, "duckdb") for n in QUERY_NAMES}
+    # the compressed Block-Max path must equal the exhaustive BM25 oracle
+    out["bmw_topk"] = build_sql("bm25_topk", "duckdb")
+    return out
