@@ -30,7 +30,9 @@ Scale notes (100 TB / 10^12 turns):
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -113,11 +115,17 @@ def assign_doc_ids(
     off_df = spark.createDataFrame(
         [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
     )
-    return (
+    out = (
         local.join(F.broadcast(off_df), "_pid")
         .withColumn("doc_id", (F.col("_rn") + F.col("_off")).cast("long"))
         .drop("_pid", "_rn", "_off")
     )
+    # The offsets pass already counted every partition — stash the total
+    # so build_index can skip a redundant count() job when computing
+    # GlobalStats.n_docs. Plain attribute: lost on further transformation
+    # (callers that filter/transform fall back to counting), never wrong.
+    out._lms_n_docs = acc
+    return out
 
 
 #: UAX#29-lite word pattern for the JVM fast path — java.util.regex with
@@ -193,6 +201,51 @@ def _stem_vocab(col):
     return _stem_vocab_udf(col)
 
 
+_stem_tokens_udf = None
+
+
+def _stem_tokens(col):
+    """Memoized vocabulary stemming applied INLINE to the aggregated
+    (doc_id, raw) stream — the scale path's replacement for a separate
+    distinct+stem+broadcast-join round trip.
+
+    Iterator-of-Series Arrow UDF: per batch, ``unique()`` the raw types,
+    Porter-stem only previously-unseen types (task-local dict cache —
+    Zipf token statistics push the hit rate toward 1 after the first
+    batch), then map every row back through the dict with pandas'
+    C-level ``Series.map``. Stopwords map to NULL (callers filter).
+
+    Why inline beats the broadcast dictionary at BOTH ends of the scale:
+    - small corpora: no extra job for ``distinct``, no broadcast-exchange
+      build, no join — the stemming rides inside the one tf pipeline, so
+      the parallelism-independent cost (2 extra stages + a driver
+      collect) disappears, which is what the N-vs-4N scaling ratio sees;
+    - 10^12 turns: a global dictionary broadcast grows with |vocab| and
+      eventually cannot broadcast at all, while the task-local cache is
+      bounded by per-task distinct types and never crosses the wire.
+    """
+    global _stem_tokens_udf
+    if _stem_tokens_udf is None:
+        from pyspark.sql.functions import pandas_udf
+
+        def go(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            from ..functions.analysis import stopwords
+            from ..functions.porter import porter_stem
+
+            stops = stopwords()
+            cache: dict = {}
+            for raws in batches:
+                for r in raws.unique():
+                    if r not in cache:
+                        cache[r] = (
+                            None if (not r or r in stops) else porter_stem(r)
+                        )
+                yield raws.map(cache)
+
+        _stem_tokens_udf = pandas_udf(go, "string")
+    return _stem_tokens_udf(col)
+
+
 def tokenize_docs(
     docs: DataFrame,
     text_col: str = "text",
@@ -227,21 +280,31 @@ def tokenize_docs(
 
 
 def _english_index_parts(
-    docs: DataFrame, text_col: str, fold_numbers: bool
+    docs: DataFrame,
+    text_col: str,
+    fold_numbers: bool,
+    strategy: str = "inline",
 ) -> tuple[DataFrame, DataFrame]:
-    """Vocabulary-dictionary english analysis (the 100TB-scale path):
+    """Dictionary-stemmed english analysis (the 100TB-scale path):
 
     1. ONE tokenize pass, all whole-stage codegen, ending in the
-       partial-aggregated (doc_id, raw, tf_raw) table (cached — it is
-       the smallest faithful form of the token stream).
-    2. Porter-stem the DISTINCT raw vocabulary with an Arrow UDF —
-       O(|vocab|) Python rows, independent of corpus size; stopwords map
-       to NULL.
-    3. Broadcast the dictionary onto the tf table; inner join drops
-       stopwords; then ONE repartition by doc_id feeds BOTH the
-       stem-merge aggregation (groupBy(doc_id, term) — satisfied by
-       hash(doc_id) partitioning, no extra exchange) AND the doclen
-       window (sum(tf) over partitionBy(doc_id) — same partitioning).
+       partial-aggregated (doc_id, raw, tf_raw) stream — the smallest
+       faithful form of the token stream.
+    2. Porter-stem the vocabulary, not the stream. Two interchangeable
+       forms (tested equal):
+       - ``inline`` (default): memoized Arrow UDF directly on the
+         aggregated stream (see _stem_tokens) — ONE linear pipeline,
+         zero extra jobs, no broadcast-size ceiling on |vocab|;
+       - ``dictionary``: distinct raw types -> stem -> broadcast join.
+         Kept as an independent differential-test implementation; costs
+         two extra stages + a broadcast build per index, and the
+         broadcast grows with |vocab| at corpus scale.
+       Stopwords map to NULL and are filtered (inline) / dropped by the
+       inner join (dictionary).
+    3. ONE repartition by doc_id feeds BOTH the stem-merge aggregation
+       (groupBy(doc_id, term) — satisfied by hash(doc_id) partitioning,
+       no extra exchange) AND the doclen window (sum(tf) over
+       partitionBy(doc_id) — same partitioning).
     4. doclen therefore rides along with NO per-doc join at all. This
        matters twice over at scale: a doclen join either broadcasts an
        O(n_docs) side (impossible at 10^9 docs) or SortMergeJoin-
@@ -250,7 +313,8 @@ def _english_index_parts(
        partition-local sort of the already-shuffled skinny tf table.
 
     Returns (doc_stats(doc_id, doclen), tokens(term, doc_id, tf,
-    doclen)).
+    doclen)); both are LAZY — build_index materializes tokens once and
+    derives everything else from its cache.
 
     doclen = Σ tf after stemming (stemming never changes the token
     count), i.e. Lucene's norm semantics (MsMarcoIndexer.java:142
@@ -268,13 +332,25 @@ def _english_index_parts(
     # (A/B'd against a skip-the-first-shuffle occurrence-level plan:
     # that one loses ~45% at low parallelism because local shuffles are
     # cheap but the unreduced stream isn't).
-    raw_tf = raw_token_counts(docs, text_col, fold_numbers).persist()
-    vocab = raw_tf.select("raw").distinct()
-    dictionary = vocab.select(
-        "raw", _stem_vocab(F.col("raw")).alias("term")
-    ).filter(F.col("term").isNotNull())
-    # stopword occurrences die on the inner join (stops stem to NULL);
-    # the (doc_id, term) aggregation merges distinct raws sharing a stem
+    raw_tf = raw_token_counts(docs, text_col, fold_numbers)
+    if strategy == "inline":
+        # stemming rides the reduce side of the first shuffle; stopword
+        # rows (term NULL) drop before anything crosses the second wire.
+        mapped = (
+            raw_tf.withColumn("term", _stem_tokens(F.col("raw")))
+            .filter(F.col("term").isNotNull())
+            .select("doc_id", "term", "tf_raw")
+        )
+    else:  # "dictionary"
+        raw_tf = raw_tf.persist()
+        vocab = raw_tf.select("raw").distinct()
+        dictionary = vocab.select(
+            "raw", _stem_vocab(F.col("raw")).alias("term")
+        ).filter(F.col("term").isNotNull())
+        mapped = raw_tf.join(F.broadcast(dictionary), "raw").select(
+            "doc_id", "term", "tf_raw"
+        )
+    # The (doc_id, term) aggregation merges distinct raws sharing a stem
     # ("running"/"runs" -> "run"), summing like Lucene when the filter
     # chain emits equal terms.
     # Repartition the mapped (doc_id, term, tf_raw) rows by doc_id ONCE;
@@ -287,12 +363,9 @@ def _english_index_parts(
     # while the doclen join it replaces was a real query-time
     # SortMergeJoin of the postings at scale.
     tf = (
-        raw_tf.join(F.broadcast(dictionary), "raw")
-        .select("doc_id", "term", "tf_raw")
-        .repartition("doc_id")
+        mapped.repartition("doc_id")
         .groupBy("doc_id", "term")
         .agg(F.sum("tf_raw").cast("long").alias("tf"))
-        .persist()
     )
     # doclen = Σ tf over the doc, as a window over the SAME partitioning
     # — no join, no broadcast, no re-shuffle; just a partition-local
@@ -301,14 +374,19 @@ def _english_index_parts(
         "doclen",
         F.sum("tf").over(Window.partitionBy("doc_id")).cast("long"),
     ).select("term", "doc_id", "tf", "doclen")
-    doclens = tf.groupBy("doc_id").agg(
-        F.sum("tf").cast("long").alias("doclen")
-    )
     # docs whose text analyzes to zero tokens vanish in the explode;
-    # the left join restores them with doclen=0
+    # the left join restores them with doclen=0. Lazy: reads the tokens
+    # cache (doclen is constant within a doc) instead of re-running the
+    # pipeline or keeping a second persisted tf copy.
     doc_stats = (
         docs.select("doc_id")
-        .join(doclens, "doc_id", "left")
+        .join(
+            tokens.groupBy("doc_id").agg(
+                F.max("doclen").cast("long").alias("doclen")
+            ),
+            "doc_id",
+            "left",
+        )
         .fillna(0, subset=["doclen"])
     )
     return doc_stats, tokens
@@ -317,9 +395,16 @@ def _english_index_parts(
 def _tf_english_fast(
     docs: DataFrame, text_col: str, fold_numbers: bool
 ) -> DataFrame:
-    """Back-compat shim: (doc_id, term, tf) via the dictionary path."""
+    """Back-compat shim: (doc_id, term, tf) via the inline-stem path."""
     _, tokens = _english_index_parts(docs, text_col, fold_numbers)
     return tokens.select("doc_id", "term", "tf")
+
+
+def _n_docs_of(docs: DataFrame) -> int:
+    """Total doc count, without a redundant job when assign_doc_ids
+    already counted every partition for the offset prefix-sum."""
+    n = getattr(docs, "_lms_n_docs", None)
+    return int(n) if n is not None else docs.count()
 
 
 def build_index(
@@ -328,27 +413,48 @@ def build_index(
     analyzer: str = "english",
     fold_numbers: bool = True,
     cache: bool = True,
-    english_strategy: str = "dictionary",
+    english_strategy: str = "inline",
 ) -> InvertedIndex:
     """docs must already carry a ``doc_id`` column (use assign_doc_ids).
 
-    ``english_strategy``: "dictionary" (default, JVM token stream + vocab
-    stemming — the scale path) or "udf" (Arrow UDF per document — the
-    reference implementation both are tested equal against)."""
-    if analyzer == "english" and english_strategy == "dictionary":
+    ``english_strategy``: "inline" (default — JVM token stream + memoized
+    in-pipeline vocab stemming, the scale path), "dictionary" (JVM token
+    stream + distinct-vocab stem + broadcast join), or "udf" (Arrow UDF
+    per document — the reference implementation). All three are tested
+    equal (tests/test_analysis.py).
+
+    The english fast paths build the WHOLE index from one materialization
+    of ``tokens``: GlobalStats comes from a cached-scan aggregate (plus
+    the doc count assign_doc_ids already knows) instead of a docs⋈doclens
+    join — at 10^9 docs that join is a real shuffle, and its only output
+    the build needs eagerly is two scalars."""
+    if analyzer == "english" and english_strategy in ("inline", "dictionary"):
         # doclen (Lucene norm semantics: post-StopFilter token count —
         # MsMarcoIndexer.java:142 setOmitNorms(false)) rides along via a
         # window over the tf table's own doc_id partitioning, so postings
         # carry it with NO doc-stats join in the query-time plan. Docs
         # whose text analyzes to zero tokens keep doclen=0 in doc_stats.
         doc_stats, tokens = _english_index_parts(
-            docs, text_col, fold_numbers
+            docs, text_col, fold_numbers, strategy=english_strategy
         )
         if cache:
             tokens = tokens.persist()
         term_stats = tokens.groupBy("term").agg(
             F.count(F.lit(1)).cast("long").alias("df"),
             F.sum("tf").alias("cf"),
+        )
+        # ONE action materializes the tokens persist AND yields the
+        # corpus-frequency scalar; n_docs needs no job at all on the
+        # assign_doc_ids path. avgdl counts zero-token docs at doclen=0,
+        # exactly like the avg() over the doc_stats left join.
+        total_cf = int(
+            tokens.agg(F.sum("tf").alias("cf")).collect()[0]["cf"] or 0
+        )
+        n_docs = _n_docs_of(docs)
+        stats = GlobalStats(
+            n_docs=n_docs,
+            avgdl=(total_cf / n_docs) if n_docs else 0.0,
+            total_cf=total_cf,
         )
     else:
         occurrences = tokenize_docs(docs, text_col, analyzer, fold_numbers)
@@ -378,13 +484,14 @@ def build_index(
         tokens = tf.join(doc_stats, "doc_id").select(
             "term", "doc_id", "tf", "doclen"
         )
+        stats = compute_global_stats(doc_stats)
 
     idx = InvertedIndex(
         docs=docs,
         tokens=tokens,
         doc_stats=doc_stats,
         term_stats=term_stats,
-        stats=compute_global_stats(doc_stats),
+        stats=stats,
         analyzer=analyzer,
         fold_numbers=fold_numbers,
     )

@@ -137,11 +137,13 @@ def test_spark_simple_tokens_match_python(spark):
     assert sorted(flat) == sorted(want)
 
 
-def test_dictionary_strategy_matches_udf_strategy(spark):
-    """The shuffle-free in-array dictionary path must produce EXACTLY the
-    same index artifacts as the per-doc Arrow-UDF reference path, on a
-    fixture exercising possessives, duplicate tokens, number folding,
-    empty / null / stopword-only texts."""
+@pytest.mark.parametrize("strategy", ["inline", "dictionary"])
+def test_fast_strategies_match_udf_strategy(spark, strategy):
+    """Both vocabulary-stemmed fast paths (inline memoized UDF; distinct
+    + broadcast dictionary) must produce EXACTLY the same index artifacts
+    as the per-doc Arrow-UDF reference path, on a fixture exercising
+    possessives, duplicate tokens, number folding, empty / null /
+    stopword-only texts."""
     from lucene_msmarco_spark.operators.index import build_index
 
     rows = [
@@ -155,7 +157,7 @@ def test_dictionary_strategy_matches_udf_strategy(spark):
         (7, "e.g. node.js u.s.a. don't"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    fast = build_index(docs, cache=False, english_strategy="dictionary")
+    fast = build_index(docs, cache=False, english_strategy=strategy)
     ref = build_index(docs, cache=False, english_strategy="udf")
 
     def rows_of(df, cols):
