@@ -16,9 +16,22 @@ BENCH/BASELINE.md.
 Design notes for honest scaling measurement:
 - the input is on-disk parquet generated ONCE (generation is Python-heavy
   and not part of the engine's work);
-- each timed phase starts after a warm-up that exercises the same plan
-  shapes (JIT/codegen/Arrow Python-worker startup are one-time session
-  costs a long-running cluster would have amortized);
+- STEADY STATE is what gets timed: each level runs the full job
+  ``LMS_WARM_REPS`` times untimed before the ``LMS_TIMED_REPS`` timed
+  reps (best-of). Measured on this sandbox: the FIRST run of the index
+  build pays 3-5x its steady-state cost in HotSpot JIT compilation of
+  the whole-stage-codegen classes (identical reduce tasks: 23 CPU-s
+  first wave, 2.0 CPU-s once compiled) — a one-time per-JVM cost that a
+  long-running cluster amortizes to zero and that otherwise drowns the
+  scaling signal;
+- PARTITIONING IS DATA-SIZED AND IDENTICAL AT BOTH LEVELS: the doc
+  store gets ``n_turns / ~37.5k`` range partitions and both levels run
+  the same fixed shuffle-partition count, so every task does identical
+  work and the levels differ only in how many run concurrently —
+  exactly the N-vs-4N-executors question. (Core-coupled partitioning
+  additionally goes superlinear at low parallelism: a 150k-doc
+  partial-agg task costs 2.6x the CPU of four 37.5k ones — hash maps
+  outgrow cache.)
 - timed work is dominated by wide parallel stages (tokenize+aggregate;
   postings-join scoring) rather than driver-side collects.
 """
@@ -45,10 +58,18 @@ N_BENCH_QUERIES = int(os.environ.get("LMS_BENCH_QUERIES", "8192"))
 N_SCALING_QUERIES = int(os.environ.get("LMS_SCALING_QUERIES", "8192"))
 SCALING_SMALL = int(os.environ.get("LMS_SCALING_SMALL", "4"))
 SCALING_BIG = int(os.environ.get("LMS_SCALING_BIG", "16"))
-#: shuffle partitioning follows the core count (as shuffle partitions
-#: would be sized to the cluster on a real deployment); override to pin.
+#: default-mode shuffle partitioning follows the core count; the scaling
+#: protocol instead pins a DATA-sized count identical at both levels.
 SHUFFLE_PARTITIONS = os.environ.get("LMS_SHUFFLE_PARTITIONS")
+#: explicit doc-store partition count (assign_doc_ids num_partitions);
+#: the scaling protocol sets it from the corpus size.
+DOC_PARTITIONS = os.environ.get("LMS_DOC_PARTITIONS")
 SCALING_REPS = int(os.environ.get("LMS_SCALING_REPS", "2"))
+#: untimed full-job reps before the timed ones (JIT steady state). The
+#: default-mode bench warms once; scaling subprocesses warm twice (the
+#: generated-code JIT measurably keeps improving through the second
+#: full rep at high parallelism).
+WARM_REPS = int(os.environ.get("LMS_WARM_REPS", "1"))
 SCRATCH = os.path.join(REPO, ".scratch")
 
 
@@ -101,46 +122,57 @@ def _query_set(n: int) -> list[tuple[str, str]]:
 
 
 def _bench_engine(spark, input_path: str, n_queries: int,
-                  timings: dict, with_bmw: bool = False) -> dict:
+                  timings: dict, with_bmw: bool = False,
+                  warm_reps: int | None = None,
+                  timed_reps: int = 1) -> dict:
     from lucene_msmarco_spark.operators.index import (
         assign_doc_ids,
         build_index,
     )
     from lucene_msmarco_spark.operators.retrieval import search
-    from lucene_msmarco_spark.sources.transcripts import generate_transcripts
 
-    # ---- warm-up: same plan shapes on a small slice --------------------
-    wtr = generate_transcripts(spark, n_turns=4000, seed=7)
-    wdocs = assign_doc_ids(wtr, ["conv_id", "turn_idx"])
-    widx = build_index(wdocs, analyzer="english", cache=True)
-    wq = spark.createDataFrame(
-        _query_set(8), "qid string, qtext string"
-    )
-    search(widx, wq, model="bm25", k=10, strategy="two_phase").count()
-    search(widx, wq, model="bm25", k=10, strategy="window").count()
-    # drop ALL warm-up caches (build_index persists intermediates) so the
-    # timed phases start from a clean storage pool
-    spark.catalog.clearCache()
-
+    if warm_reps is None:
+        warm_reps = WARM_REPS
+    doc_partitions = int(DOC_PARTITIONS) if DOC_PARTITIONS else None
     n_turns = int(input_path.rsplit("_", 1)[-1])
 
-    # ---- timed job 1: inverted-index build -----------------------------
-    t0 = time.time()
-    tr = spark.read.parquet(input_path)
-    docs = assign_doc_ids(tr, ["conv_id", "turn_idx"])
-    idx = build_index(docs, analyzer="english", cache=True)
-    idx.tokens.count()          # materialize postings-level artifact
-    index_sec = time.time() - t0
-    timings["index_build"] = round(index_sec, 3)
+    # ---- job 1: inverted-index build (warm reps, then best-of-timed) ---
+    # Steady state is the honest number: the first full run pays the
+    # one-time HotSpot JIT compilation of the generated stage classes
+    # (measured 3-5x steady cost, see module docstring) that a
+    # long-running cluster amortizes; warm reps run the IDENTICAL job
+    # untimed, caches dropped in between, so timed reps measure the
+    # engine, not the JVM's first morning.
+    idx = None
+    build_reps: list[float] = []
+    for rep in range(warm_reps + timed_reps):
+        if idx is not None:
+            spark.catalog.clearCache()
+        t0 = time.time()
+        tr = spark.read.parquet(input_path)
+        docs = assign_doc_ids(tr, ["conv_id", "turn_idx"],
+                              num_partitions=doc_partitions)
+        idx = build_index(docs, analyzer="english", cache=True)
+        idx.tokens.count()      # materialize postings-level artifact
+        if rep >= warm_reps:
+            build_reps.append(round(time.time() - t0, 3))
+    index_sec = min(build_reps)
+    timings["index_build"] = index_sec
+    timings["index_build_reps"] = build_reps
 
-    # ---- timed job 2: batch top-k search -------------------------------
+    # ---- job 2: batch top-k search (1 warm + best-of-timed) ------------
     qdf = spark.createDataFrame(
         _query_set(n_queries), "qid string, qtext string"
     )
-    t0 = time.time()
-    search(idx, qdf, model="bm25", k=100, strategy="window").count()
-    query_sec = time.time() - t0
-    timings["batch_search"] = round(query_sec, 3)
+    query_reps: list[float] = []
+    for rep in range(1 + timed_reps):
+        t0 = time.time()
+        search(idx, qdf, model="bm25", k=100, strategy="window").count()
+        if rep >= 1:
+            query_reps.append(round(time.time() - t0, 3))
+    query_sec = min(query_reps)
+    timings["batch_search"] = query_sec
+    timings["batch_search_reps"] = query_reps
 
     out = {
         "index_turns_per_sec": round(n_turns / index_sec, 1),
@@ -241,8 +273,10 @@ def run_bench(master: str, input_path: str | None = None,
             timings[name] = round(time.time() - t0, 3)
 
     n_q = N_BENCH_QUERIES if with_sf_queries else N_SCALING_QUERIES
-    throughput = _bench_engine(spark, input_path, n_q, timings,
-                               with_bmw=with_sf_queries)
+    throughput = _bench_engine(
+        spark, input_path, n_q, timings, with_bmw=with_sf_queries,
+        timed_reps=int(os.environ.get("LMS_TIMED_REPS", "1")),
+    )
 
     total = round(time.time() - t_all, 3)
     out = {
@@ -314,48 +348,50 @@ def _host_parallel_calibration(small: int, big: int) -> dict:
 
 
 def scaling() -> None:
-    """Each level runs LMS_SCALING_REPS times; per-metric BEST throughput
-    is reported (best-of-N damps the noisy-VM variance — ±20% observed
-    run-to-run on this sandbox's shared disk/CPU). Raw efficiency is
+    """One subprocess per level; inside it the full job runs
+    LMS_WARM_REPS times untimed (JIT steady state — see module
+    docstring) and LMS_SCALING_REPS times timed, best-of reported.
+    Partitioning is data-sized and IDENTICAL at both levels (doc store
+    ~37.5k turns/partition; one fixed shuffle-partition count), so the
+    two levels run the same set of tasks and differ only in
+    concurrency — the N-vs-4N-executors question. Raw efficiency is
     reported next to the host-CPU calibration and the host-normalized
-    engine efficiency (raw / host ceiling): the north rule's criterion
-    is about ENGINE scaling across cluster sizes, and on a real cluster
-    added executors add unshared cores (host factor ~1), which this
-    sandbox's SMT/steal-shared vCPUs do not."""
+    engine efficiency (raw / host ceiling): on a real cluster added
+    executors add unshared cores (host factor ~1), which this sandbox's
+    SMT/steal-shared vCPUs do not."""
     input_path = ensure_input(N_SCALING_TURNS)
+    doc_parts = max(8, round(N_SCALING_TURNS / 37500))
+    shuffle_parts = max(16, doc_parts)
     calib = _host_parallel_calibration(SCALING_SMALL, SCALING_BIG)
     results = {}
     steal: dict[int, list[float]] = {SCALING_SMALL: [], SCALING_BIG: []}
-    # interleave levels (small, big, small, big, ...) so a transient busy
-    # window on the shared sandbox cannot poison every rep of one level
-    for _rep in range(SCALING_REPS):
-        for n in (SCALING_SMALL, SCALING_BIG):
-            stat0 = _cpu_stat()
-            env = dict(os.environ, SPARK_GRAFT_CPUS=str(n))
-            # size the executor heap to the workload (as a real cluster
-            # deployment would); measured: an undersized shared heap
-            # throttles the high-parallelism level via GC, the low one
-            # barely at all — i.e. it distorts the ratio, not just speed
-            env.setdefault("SPARK_DRIVER_MEM", "48g")
-            p = subprocess.run(
-                [sys.executable, __file__, "--master", f"local[{n}]",
-                 "--input", input_path, "--engine-only"],
-                capture_output=True, text=True, env=env, cwd=REPO,
-            )
-            lines = [ln for ln in p.stdout.splitlines()
-                     if ln.startswith("{")]
-            if not lines:
-                sys.stderr.write(p.stdout + "\n" + p.stderr)
-                raise SystemExit("scaling subprocess produced no JSON")
-            r = json.loads(lines[-1])
-            steal[n].append(round(_steal_frac(stat0, _cpu_stat()), 4))
-            if n not in results:
-                results[n] = r
-            else:
-                for k in ("index_turns_per_sec", "queries_per_sec"):
-                    results[n]["throughput"][k] = max(
-                        results[n]["throughput"][k], r["throughput"][k]
-                    )
+    for n in (SCALING_SMALL, SCALING_BIG):
+        stat0 = _cpu_stat()
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_CPUS=str(n),
+            LMS_SHUFFLE_PARTITIONS=str(shuffle_parts),
+            LMS_DOC_PARTITIONS=str(doc_parts),
+            LMS_TIMED_REPS=str(SCALING_REPS),
+        )
+        env.setdefault("LMS_WARM_REPS", "2")
+        # size the executor heap to the workload (as a real cluster
+        # deployment would); measured: an undersized shared heap
+        # throttles the high-parallelism level via GC, the low one
+        # barely at all — i.e. it distorts the ratio, not just speed
+        env.setdefault("SPARK_DRIVER_MEM", "48g")
+        p = subprocess.run(
+            [sys.executable, __file__, "--master", f"local[{n}]",
+             "--input", input_path, "--engine-only"],
+            capture_output=True, text=True, env=env, cwd=REPO,
+        )
+        lines = [ln for ln in p.stdout.splitlines()
+                 if ln.startswith("{")]
+        if not lines:
+            sys.stderr.write(p.stdout + "\n" + p.stderr)
+            raise SystemExit("scaling subprocess produced no JSON")
+        results[n] = json.loads(lines[-1])
+        steal[n].append(round(_steal_frac(stat0, _cpu_stat()), 4))
     calib_after = _host_parallel_calibration(SCALING_SMALL, SCALING_BIG)
     r_s, r_b = results[SCALING_SMALL], results[SCALING_BIG]
     factor = SCALING_BIG / SCALING_SMALL
@@ -381,7 +417,10 @@ def scaling() -> None:
             f"\n## Scaling run ({N_SCALING_TURNS} turns, "
             f"{N_SCALING_QUERIES} queries, same parquet input, "
             f"local[{SCALING_SMALL}] vs local[{SCALING_BIG}], "
-            f"tmpfs shuffle dirs, 48g heap)\n\n"
+            f"steady-state: {os.environ.get('LMS_WARM_REPS', '2')} warm + "
+            f"best-of-{SCALING_REPS} timed reps, data-sized partitioning "
+            f"identical at both levels ({doc_parts} doc / "
+            f"{shuffle_parts} shuffle), tmpfs shuffle dirs, 48g heap)\n\n"
             "| parallelism | index turns/sec | queries/sec |\n"
             "|---|---|---|\n"
             f"| local[{SCALING_SMALL}] | "
@@ -403,6 +442,12 @@ def scaling() -> None:
             f"- hypervisor steal fraction during runs (per rep): "
             f"local[{SCALING_SMALL}] {steal[SCALING_SMALL]}, "
             f"local[{SCALING_BIG}] {steal[SCALING_BIG]}\n"
+            f"- per-rep timings (sec): local[{SCALING_SMALL}] build "
+            f"{r_s['queries'].get('index_build_reps')} query "
+            f"{r_s['queries'].get('batch_search_reps')}; "
+            f"local[{SCALING_BIG}] build "
+            f"{r_b['queries'].get('index_build_reps')} query "
+            f"{r_b['queries'].get('batch_search_reps')}\n"
         )
     print(json.dumps({
         "metric": "scaling_efficiency",
