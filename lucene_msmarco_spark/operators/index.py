@@ -133,25 +133,45 @@ def assign_doc_ids(
         .withColumn("doc_id", (F.col("_rn") + F.col("_off")).cast("long"))
         .drop("_pid", "_rn", "_off")
     )
-    # Rebalance the doc store AFTER ids are assigned. Range partitioning
-    # clusters rows by sort key, and any correlation between the key and
-    # text length (real corpora have plenty: crawl order, conv length
-    # drift) leaves the partitions byte-skewed — measured on the bench
-    # corpus as one tokenize task running 5x the others, capping CPU
-    # utilization at ~40% at every parallelism level. doc_id is already
-    # a plain column, so a round-robin repartition evens out bytes;
-    # downstream consumers (tokenize above all) read balanced cached
-    # partitions. The skewed _pid-pinned copy is dropped once the
-    # balanced store is materialized. (In a cluster deployment this is
-    # the balanced Iceberg write of the doc table.)
-    out = out.repartition(num_partitions).persist()
-    out.count()
+    # Rebalance the doc store AFTER ids are assigned — BY HASH OF doc_id.
+    # Two birds: (1) range partitioning clusters rows by sort key, and any
+    # correlation between the key and text length (real corpora have
+    # plenty: crawl order, conv length drift) leaves the partitions
+    # byte-skewed — measured on the bench corpus as one tokenize task
+    # running 5x the others; hash(doc_id) of a dense unique id is
+    # uniform, so rows AND bytes even out. (2) The hash clustering is the
+    # partitioning invariant every per-doc operator downstream needs:
+    # with the store clustered by doc_id, HashPartitioning(doc_id)
+    # satisfies the ClusteredDistribution of the (doc_id, raw) and
+    # (doc_id, term) aggregations, the doclen window, and the doc_stats
+    # join, so the whole english index build plans WITHOUT ANY FURTHER
+    # EXCHANGE — the token stream (the largest intermediate there is at
+    # 10^12 turns) never crosses the wire at all; the only shuffle in the
+    # build is this one, over the raw documents. (In a cluster deployment
+    # this is the Iceberg doc-table write, bucketed by doc_id.)
+    # Materialize the store with AQE off for THIS plan only: an
+    # adaptively-planned cached relation reports UnknownPartitioning
+    # (its final layout is only fixed at execution), so every downstream
+    # consumer would re-exchange despite the data already being hash
+    # placed. A non-adaptive cached plan reports HashPartitioning and
+    # EnsureRequirements elides the exchanges. Nothing here needs AQE:
+    # both shuffles are row-balanced by construction.
+    spark = df.sparkSession
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        out = out.repartition(num_partitions, F.col("doc_id")).persist()
+        out.count()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
     local.unpersist()
     # The offsets pass already counted every partition — stash the total
     # so build_index can skip a redundant count() job when computing
-    # GlobalStats.n_docs. Plain attribute: lost on further transformation
-    # (callers that filter/transform fall back to counting), never wrong.
+    # GlobalStats.n_docs. Plain attributes: lost on further transformation
+    # (callers that filter/transform fall back to counting / an explicit
+    # repartition), never wrong.
     out._lms_n_docs = acc
+    out._lms_clustered_by = "doc_id"
     return out
 
 
@@ -269,8 +289,65 @@ def _stem_tokens(col):
                         )
                 yield raws.map(cache)
 
-        _stem_tokens_udf = pandas_udf(go, "string")
+        # The UDF is pure, but the nondeterministic marker is load-bearing
+        # for the PLAN: without it Catalyst pushes the downstream
+        # ``isnotnull(stem(raw))`` stopword filter through the
+        # (doc_id, raw) aggregate, re-evaluating the UDF over the
+        # occurrence-level stream — a second ArrowEvalPython round-trip
+        # of every token occurrence (measured: doubles the Python/Arrow
+        # traffic of the build). Correctness is unaffected either way;
+        # this pins the evaluate-once-per-type shape.
+        _stem_tokens_udf = pandas_udf(go, "string").asNondeterministic()
     return _stem_tokens_udf(col)
+
+
+#: worker-process-level stem memo for the fused finisher: python workers
+#: are reused across tasks, and Zipf token statistics make the raw-type
+#: set nearly identical between partitions, so after the first task the
+#: per-task stemming cost collapses to dict lookups. Bounded by |vocab|
+#: seen by the worker; never crosses the wire.
+_FUSED_STEM_MEMO: dict = {}
+
+
+def _fused_finish(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    """Per-partition finisher for the fused english build: consumes the
+    JVM-aggregated (doc_id, raw, tf_raw) stream of ONE partition (all
+    batches), then in vectorized pandas: memoized Porter-stem the raw
+    types (stopwords -> dropped), merge stem collisions with a
+    groupby(doc_id, term).sum, and attach doclen = groupby(doc_id)
+    transform-sum. REQUIRES the partition to hold complete documents
+    (guaranteed by hash(doc_id) clustering — see _english_index_parts).
+    """
+    from ..functions.analysis import stopwords
+    from ..functions.porter import porter_stem
+
+    stops = stopwords()
+    memo = _FUSED_STEM_MEMO
+    frames = list(batches)
+    if not frames:
+        return
+    df = pd.concat(frames, ignore_index=True)
+    for r in df["raw"].unique():
+        if r not in memo:
+            memo[r] = None if (not r or r in stops) else porter_stem(r)
+    df["term"] = df["raw"].map(memo)
+    df = df[df["term"].notna()]
+    if df.empty:
+        return
+    tf = (
+        df.groupby(["doc_id", "term"], sort=False, as_index=False)["tf_raw"]
+        .sum()
+        .rename(columns={"tf_raw": "tf"})
+    )
+    doclen = tf.groupby("doc_id", sort=False)["tf"].transform("sum")
+    yield pd.DataFrame(
+        {
+            "term": tf["term"],
+            "doc_id": tf["doc_id"].astype("int64"),
+            "tf": tf["tf"].astype("int64"),
+            "doclen": doclen.astype("int64"),
+        }
+    )
 
 
 def tokenize_docs(
@@ -310,34 +387,41 @@ def _english_index_parts(
     docs: DataFrame,
     text_col: str,
     fold_numbers: bool,
-    strategy: str = "inline",
+    strategy: str = "fused",
 ) -> tuple[DataFrame, DataFrame]:
-    """Dictionary-stemmed english analysis (the 100TB-scale path):
+    """Vocabulary-stemmed english analysis (the 100TB-scale path):
 
     1. ONE tokenize pass, all whole-stage codegen, ending in the
-       partial-aggregated (doc_id, raw, tf_raw) stream — the smallest
-       faithful form of the token stream.
-    2. Porter-stem the vocabulary, not the stream. Two interchangeable
+       aggregated (doc_id, raw, tf_raw) stream — the smallest faithful
+       form of the token stream. With the doc store hash(doc_id)-
+       clustered (assign_doc_ids), this aggregation needs NO exchange:
+       every (doc_id, raw) group lives inside the task holding the doc.
+    2. Porter-stem the vocabulary, not the stream. Three interchangeable
        forms (tested equal):
-       - ``inline`` (default): memoized Arrow UDF directly on the
-         aggregated stream (see _stem_tokens) — ONE linear pipeline,
-         zero extra jobs, no broadcast-size ceiling on |vocab|;
+       - ``fused`` (default): one mapInPandas finisher per partition
+         consumes the aggregated stream and does memoized vocab stemming
+         + stem-collision merge + doclen in vectorized pandas
+         (_fused_finish). Combined with the clustered doc store the
+         ENTIRE build is a single exchange-free stage — the token
+         stream, the largest intermediate there is at 10^12 turns,
+         never crosses the wire; the only build shuffle is the doc-store
+         write itself. No broadcast-size ceiling on |vocab|.
+       - ``inline``: memoized Arrow UDF on the aggregated stream
+         (see _stem_tokens), then a (doc_id, term) re-aggregation and a
+         doclen window over ONE repartition("doc_id") — the pre-fused
+         linear pipeline; one token-stream exchange (ArrowEvalPython
+         does not propagate the input's clustering, so the exchange is
+         unavoidable in this shape).
        - ``dictionary``: distinct raw types -> stem -> broadcast join.
-         Kept as an independent differential-test implementation; costs
-         two extra stages + a broadcast build per index, and the
+         Kept as an independent differential-test implementation; the
          broadcast grows with |vocab| at corpus scale.
-       Stopwords map to NULL and are filtered (inline) / dropped by the
-       inner join (dictionary).
-    3. ONE repartition by doc_id feeds BOTH the stem-merge aggregation
-       (groupBy(doc_id, term) — satisfied by hash(doc_id) partitioning,
-       no extra exchange) AND the doclen window (sum(tf) over
-       partitionBy(doc_id) — same partitioning).
-    4. doclen therefore rides along with NO per-doc join at all. This
-       matters twice over at scale: a doclen join either broadcasts an
-       O(n_docs) side (impossible at 10^9 docs) or SortMergeJoin-
-       re-shuffles the postings at query time (the round-2 plan
-       regression caught by tests/test_plans.py); the window form is a
-       partition-local sort of the already-shuffled skinny tf table.
+       Stopwords map to NULL/NaN and are dropped in all three.
+    3. doclen rides along with NO per-doc join at all (pandas
+       transform-sum in ``fused``; window over the doc_id partitioning
+       otherwise). This matters twice over at scale: a doclen join
+       either broadcasts an O(n_docs) side (impossible at 10^9 docs) or
+       SortMergeJoin-re-shuffles the postings at query time (the
+       round-2 plan regression caught by tests/test_plans.py).
 
     Returns (doc_stats(doc_id, doclen), tokens(term, doc_id, tf,
     doclen)); both are LAZY — build_index materializes tokens once and
@@ -359,6 +443,30 @@ def _english_index_parts(
     # (A/B'd against a skip-the-first-shuffle occurrence-level plan:
     # that one loses ~45% at low parallelism because local shuffles are
     # cheap but the unreduced stream isn't).
+    clustered = getattr(docs, "_lms_clustered_by", None) == "doc_id"
+    if strategy == "fused":
+        # The fused finisher aggregates per PARTITION, so partitions
+        # must hold complete documents: the assign_doc_ids store already
+        # does (hash(doc_id) clustering, visible to the planner); any
+        # other source gets one explicit doc-level repartition — of the
+        # raw doc rows, cheaper than any token-level exchange.
+        base = docs if clustered else docs.repartition("doc_id")
+        raw_tf = raw_token_counts(base, text_col, fold_numbers)
+        tokens = raw_tf.mapInPandas(
+            _fused_finish, "term string, doc_id long, tf long, doclen long"
+        )
+        doc_stats = (
+            docs.select("doc_id")
+            .join(
+                tokens.groupBy("doc_id").agg(
+                    F.max("doclen").cast("long").alias("doclen")
+                ),
+                "doc_id",
+                "left",
+            )
+            .fillna(0, subset=["doclen"])
+        )
+        return doc_stats, tokens
     raw_tf = raw_token_counts(docs, text_col, fold_numbers)
     if strategy == "inline":
         # stemming rides the reduce side of the first shuffle; stopword
@@ -383,14 +491,14 @@ def _english_index_parts(
     # Repartition the mapped (doc_id, term, tf_raw) rows by doc_id ONCE;
     # hash(doc_id) satisfies the ClusteredDistribution of both the
     # (doc_id, term) stem-merge aggregation and the per-doc window below,
-    # so neither inserts a further exchange. The trade (vs letting
-    # groupBy shuffle on (doc_id, term)): the exchange ships raw-level
-    # rows without a map-side combine for the stem merge — but stems
-    # rarely collide within one doc, so that combine saved ~nothing,
-    # while the doclen join it replaces was a real query-time
-    # SortMergeJoin of the postings at scale.
+    # so neither inserts a further exchange. (The upstream store's own
+    # clustering cannot be reused here: ArrowEvalPython reports unknown
+    # output partitioning, so the planner re-exchanges regardless — the
+    # ``fused`` strategy exists to avoid exactly this.) No doclen join
+    # ever reaches the query-time plan (the round-2 SMJ regression).
+    mapped = mapped.repartition("doc_id")
     tf = (
-        mapped.repartition("doc_id")
+        mapped
         .groupBy("doc_id", "term")
         .agg(F.sum("tf_raw").cast("long").alias("tf"))
     )
@@ -440,22 +548,25 @@ def build_index(
     analyzer: str = "english",
     fold_numbers: bool = True,
     cache: bool = True,
-    english_strategy: str = "inline",
+    english_strategy: str = "fused",
 ) -> InvertedIndex:
     """docs must already carry a ``doc_id`` column (use assign_doc_ids).
 
-    ``english_strategy``: "inline" (default — JVM token stream + memoized
-    in-pipeline vocab stemming, the scale path), "dictionary" (JVM token
-    stream + distinct-vocab stem + broadcast join), or "udf" (Arrow UDF
-    per document — the reference implementation). All three are tested
-    equal (tests/test_analysis.py).
+    ``english_strategy``: "fused" (default — JVM token stream + one
+    mapInPandas stem/merge/doclen finisher over the hash(doc_id)
+    clustering, a single exchange-free stage: the scale path), "inline"
+    (memoized Arrow stem UDF + re-aggregation over one token-stream
+    exchange), "dictionary" (distinct-vocab stem + broadcast join), or
+    "udf" (Arrow UDF per document — the reference implementation). All
+    four are tested equal (tests/test_analysis.py).
 
     The english fast paths build the WHOLE index from one materialization
     of ``tokens``: GlobalStats comes from a cached-scan aggregate (plus
     the doc count assign_doc_ids already knows) instead of a docs⋈doclens
     join — at 10^9 docs that join is a real shuffle, and its only output
     the build needs eagerly is two scalars."""
-    if analyzer == "english" and english_strategy in ("inline", "dictionary"):
+    if analyzer == "english" and english_strategy in (
+            "fused", "inline", "dictionary"):
         # doclen (Lucene norm semantics: post-StopFilter token count —
         # MsMarcoIndexer.java:142 setOmitNorms(false)) rides along via a
         # window over the tf table's own doc_id partitioning, so postings

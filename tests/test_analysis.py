@@ -137,13 +137,13 @@ def test_spark_simple_tokens_match_python(spark):
     assert sorted(flat) == sorted(want)
 
 
-@pytest.mark.parametrize("strategy", ["inline", "dictionary"])
+@pytest.mark.parametrize("strategy", ["fused", "inline", "dictionary"])
 def test_fast_strategies_match_udf_strategy(spark, strategy):
-    """Both vocabulary-stemmed fast paths (inline memoized UDF; distinct
-    + broadcast dictionary) must produce EXACTLY the same index artifacts
-    as the per-doc Arrow-UDF reference path, on a fixture exercising
-    possessives, duplicate tokens, number folding, empty / null /
-    stopword-only texts."""
+    """All vocabulary-stemmed fast paths (fused mapInPandas finisher;
+    inline memoized UDF; distinct + broadcast dictionary) must produce
+    EXACTLY the same index artifacts as the per-doc Arrow-UDF reference
+    path, on a fixture exercising possessives, duplicate tokens, number
+    folding, empty / null / stopword-only texts."""
     from lucene_msmarco_spark.operators.index import build_index
 
     rows = [

@@ -65,6 +65,23 @@ def test_search_shuffle_budget(idx, qdf):
     assert_no_cartesian(run)
 
 
+def test_english_build_is_exchange_free(spark):
+    """THE scale contract of the index build: with the doc store
+    hash(doc_id)-clustered by assign_doc_ids, the whole english pipeline
+    (tokenize -> (doc_id, raw) aggregation -> fused stem/merge/doclen
+    finisher) plans as ONE stage with ZERO exchanges above the doc-store
+    scan — the token stream, the largest intermediate at 10^12 turns,
+    never crosses the wire. The only build shuffle is the doc-store
+    write inside assign_doc_ids itself."""
+    pdf = transcripts_local(300, seed=7)
+    docs = assign_doc_ids(spark.createDataFrame(pdf), ["conv_id", "turn_idx"])
+    idx = build_index(docs, analyzer="english", cache=False)
+    plan = idx.tokens._jdf.queryExecution().executedPlan().toString()
+    above_store = plan.split("InMemoryTableScan", 1)[0]
+    assert "Exchange" not in above_store, above_store
+    assert "MapInPandas" in above_store, above_store
+
+
 def test_parquet_scan_prunes_columns(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     narrow = docs.select("doc_id")
