@@ -318,6 +318,8 @@ def _fused_finish(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]"
     transform-sum. REQUIRES the partition to hold complete documents
     (guaranteed by hash(doc_id) clustering — see _english_index_parts).
     """
+    import numpy as np
+
     from ..functions.analysis import stopwords
     from ..functions.porter import porter_stem
 
@@ -327,22 +329,44 @@ def _fused_finish(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]"
     if not frames:
         return
     df = pd.concat(frames, ignore_index=True)
-    for r in df["raw"].unique():
-        if r not in memo:
-            memo[r] = None if (not r or r in stops) else porter_stem(r)
-    df["term"] = df["raw"].map(memo)
-    df = df[df["term"].notna()]
-    if df.empty:
+    # Stem at the TYPE level, then do all row-level work on integer
+    # codes: object-dtype string groupbys are the memory-bandwidth hog
+    # of this finisher (every probe chases a PyObject pointer), while
+    # int64 groupbys stay on numpy fast paths. factorize() gives the
+    # raw -> code mapping in one C pass; stems (and the stopword drop,
+    # code -1) are then a |types|-sized table lookup away.
+    raw_codes, raw_types = pd.factorize(df["raw"], sort=False)
+    term_of_type: dict[str, int] = {}
+    terms: list[str] = []
+    type_to_term = np.empty(len(raw_types), dtype=np.int64)
+    for i, r in enumerate(raw_types):
+        t = memo.get(r, _FUSED_STEM_MEMO)  # sentinel: not-yet-stemmed
+        if t is _FUSED_STEM_MEMO:
+            t = None if (not r or r in stops) else porter_stem(r)
+            memo[r] = t
+        if t is None:
+            type_to_term[i] = -1
+        else:
+            code = term_of_type.get(t)
+            if code is None:
+                code = len(terms)
+                term_of_type[t] = code
+                terms.append(t)
+            type_to_term[i] = code
+    term_codes = type_to_term[raw_codes]
+    keep = term_codes >= 0
+    if not keep.any():
         return
-    tf = (
-        df.groupby(["doc_id", "term"], sort=False, as_index=False)["tf_raw"]
-        .sum()
-        .rename(columns={"tf_raw": "tf"})
-    )
+    doc_ids = df["doc_id"].to_numpy()[keep]
+    tf_raw = df["tf_raw"].to_numpy()[keep]
+    key = pd.DataFrame({"doc_id": doc_ids, "tc": term_codes[keep],
+                        "tf": tf_raw})
+    tf = key.groupby(["doc_id", "tc"], sort=False, as_index=False)["tf"].sum()
     doclen = tf.groupby("doc_id", sort=False)["tf"].transform("sum")
+    term_arr = np.asarray(terms, dtype=object)
     yield pd.DataFrame(
         {
-            "term": tf["term"],
+            "term": pd.Series(term_arr[tf["tc"].to_numpy()], dtype=object),
             "doc_id": tf["doc_id"].astype("int64"),
             "tf": tf["tf"].astype("int64"),
             "doclen": doclen.astype("int64"),
