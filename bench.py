@@ -208,7 +208,9 @@ def _bench_engine(spark, input_path: str, n_queries: int,
             _query_set(n_sub), "qid string, qtext string"
         )
         t0 = time.time()
-        compact = CompactIndex.from_index(idx, n_segments=32)
+        # default layout: segmented, partition-local off the fused build
+        # (zero token shuffle; segments = doc-store partitions)
+        compact = CompactIndex.from_index(idx)
         compact.postings.persist().count()
         timings["bmw_encode"] = round(time.time() - t0, 3)
         qt = compile_queries(qsub, "english")
@@ -414,8 +416,12 @@ def scaling() -> None:
                                           work=_calib_membw)
     results = {}
     steal: dict[int, list[float]] = {SCALING_SMALL: [], SCALING_BIG: []}
+    # reject-and-retry on hypervisor steal: a rep whose steal fraction
+    # exceeds LMS_STEAL_MAX was visibly preempted by the host and would
+    # bias whichever level it hit (steal was previously recorded but
+    # not acted on — ADVICE r3 #4)
+    steal_max = float(os.environ.get("LMS_STEAL_MAX", "0.05"))
     for n in (SCALING_SMALL, SCALING_BIG):
-        stat0 = _cpu_stat()
         env = dict(
             os.environ,
             SPARK_GRAFT_CPUS=str(n),
@@ -430,18 +436,27 @@ def scaling() -> None:
         # throttles the high-parallelism level via GC, the low one
         # barely at all — i.e. it distorts the ratio, not just speed
         env.setdefault("SPARK_DRIVER_MEM", "48g")
-        p = subprocess.run(
-            [sys.executable, __file__, "--master", f"local[{n}]",
-             "--input", input_path, "--engine-only"],
-            capture_output=True, text=True, env=env, cwd=REPO,
-        )
-        lines = [ln for ln in p.stdout.splitlines()
-                 if ln.startswith("{")]
-        if not lines:
-            sys.stderr.write(p.stdout + "\n" + p.stderr)
-            raise SystemExit("scaling subprocess produced no JSON")
-        results[n] = json.loads(lines[-1])
-        steal[n].append(round(_steal_frac(stat0, _cpu_stat()), 4))
+        for attempt in range(3):
+            stat0 = _cpu_stat()
+            p = subprocess.run(
+                [sys.executable, __file__, "--master", f"local[{n}]",
+                 "--input", input_path, "--engine-only"],
+                capture_output=True, text=True, env=env, cwd=REPO,
+            )
+            frac = round(_steal_frac(stat0, _cpu_stat()), 4)
+            steal[n].append(frac)
+            lines = [ln for ln in p.stdout.splitlines()
+                     if ln.startswith("{")]
+            if not lines:
+                sys.stderr.write(p.stdout + "\n" + p.stderr)
+                raise SystemExit("scaling subprocess produced no JSON")
+            results[n] = json.loads(lines[-1])
+            if frac <= steal_max:
+                break
+            sys.stderr.write(
+                f"steal {frac} > {steal_max} at local[{n}] "
+                f"(attempt {attempt + 1}); re-running level\n"
+            )
     calib_after = _host_parallel_calibration(SCALING_SMALL, SCALING_BIG)
     r_s, r_b = results[SCALING_SMALL], results[SCALING_BIG]
     factor = SCALING_BIG / SCALING_SMALL
@@ -503,8 +518,12 @@ def scaling() -> None:
             f"- host-normalized ENGINE efficiency: index "
             f"**{eng_idx:.3f}** (raw / bandwidth ceiling — the build "
             f"is aggregation/bandwidth-bound), query **{eng_q:.3f}** "
-            f"(raw / compute ceiling)\n"
-            f"- hypervisor steal fraction during runs (per rep): "
+            f"(raw / compute ceiling). CALIBRATION-DEPENDENT MODEL, "
+            f"not a measurement (the 1.0 clamp can mask ceiling "
+            f"miscalibration) — any pass/fail gate reads the RAW "
+            f"efficiencies above\n"
+            f"- hypervisor steal fraction per level attempt (attempts "
+            f"above LMS_STEAL_MAX={steal_max} were re-run): "
             f"local[{SCALING_SMALL}] {steal[SCALING_SMALL]}, "
             f"local[{SCALING_BIG}] {steal[SCALING_BIG]}\n"
             f"- per-rep timings (sec): local[{SCALING_SMALL}] build "
@@ -516,10 +535,13 @@ def scaling() -> None:
         )
     print(json.dumps({
         "metric": "scaling_efficiency",
-        "value": round(min(eng_idx, eng_q), 3),
-        "unit": "ratio (host-normalized engine efficiency; see raw_*)",
-        "index_efficiency": round(eng_idx, 3),
-        "query_efficiency": round(eng_q, 3),
+        # the headline value is the RAW worst-of-two: the normalized
+        # figures are a calibration-dependent model kept for context
+        "value": round(min(eff_idx, eff_q), 3),
+        "unit": "ratio (raw worst-of index/query; normalized_* are "
+                "calibration-dependent context)",
+        "normalized_index_efficiency": round(eng_idx, 3),
+        "normalized_query_efficiency": round(eng_q, 3),
         "raw_index_efficiency": round(eff_idx, 3),
         "raw_query_efficiency": round(eff_q, 3),
         "host_cpu_efficiency": host_eff,

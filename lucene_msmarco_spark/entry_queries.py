@@ -762,9 +762,10 @@ def _bmw_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     analyzer index into doc-range segments and answer the QUERYSET with
     the segmented Block-Max path (operators/postings.bmw_search). Must
     reproduce the ``bm25_topk`` oracle rows exactly — same ranking rule
-    (rounded score desc, doc_id asc), re-applied over the exact-score
-    top-50 so rounded ties order identically."""
-    from pyspark.sql import Window
+    (rounded score desc, doc_id asc), applied INSIDE the scatter-gather
+    selection via ``rank_round=4`` so the top-10 is exact by
+    construction under the oracle's own total order (no headroom-k
+    re-rank; ADVICE r3 #1)."""
     from pyspark.sql import functions as F
 
     from .operators.index import build_index
@@ -778,18 +779,11 @@ def _bmw_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     compact = CompactIndex.from_index(idx, n_segments=4)
     qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
     qt = compile_queries(qdf, "simple")
-    run = bmw_search(compact, qt, k=50)
-    w = Window.partitionBy("qid").orderBy(
-        F.round("score", 4).desc(), F.col("doc_id").asc()
-    )
-    return (
-        run.withColumn("rank2", F.row_number().over(w))
-        .filter(F.col("rank2") <= 10)
-        .select(
-            "qid", "doc_id",
-            F.col("rank2").cast("int").alias("rank"),
-            F.round("score", 4).alias("score"),
-        )
+    run = bmw_search(compact, qt, k=10, rank_round=4)
+    return run.select(
+        "qid", "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round("score", 4).alias("score"),
     )
 
 

@@ -70,11 +70,27 @@ class InvertedIndex:
         self.term_stats = self.term_stats.cache()
         return self
 
+    def unpersist(self, blocking: bool = False) -> "InvertedIndex":
+        """Release every cache this index pinned — including the doc
+        store that assign_doc_ids persists unconditionally. Long-lived
+        sessions building many indexes call this per retired index;
+        without it cached stores accumulate until the LRU block manager
+        starts evicting hot data."""
+        for df in (self.tokens, self.doc_stats, self.term_stats,
+                   self.docs):
+            if df is not None:
+                df.unpersist(blocking)
+        return self
+
 
 def assign_doc_ids(
-    df: DataFrame, keys: list[str], num_partitions: int | None = None
+    df: DataFrame, keys: list[str], num_partitions: int | None = None,
+    base: int = 0,
 ) -> DataFrame:
-    """Dense 0-based ``doc_id`` over stable ``keys`` ordering, scalably.
+    """Dense ``base``-based ``doc_id`` over stable ``keys`` ordering,
+    scalably. ``base`` lets an incremental append allocate a disjoint id
+    range on top of an existing index (streaming.SegmentedIndexWriter)
+    while keeping the hash clustering computed over the FINAL ids.
 
     Mirrors the reference invariant "MS MARCO docids == Lucene doc offsets"
     (``retrieval/SupervisedRLM.java:74``, ``utils/IndexUtils.java:22-62``)
@@ -85,6 +101,17 @@ def assign_doc_ids(
     (cheap, partition-local sort) -> add exclusive prefix-sum of partition
     sizes (tiny driver-side array, broadcast join). No global shuffle to 1
     partition.
+
+    Session-state caveats: (a) the returned store is persist()'d eagerly
+    (the hash clustering must be pinned — see below); callers that
+    retire an index should release it via ``InvertedIndex.unpersist()``
+    or ``df.unpersist()``. (b) While materializing, AQE is toggled off
+    SESSION-WIDE for the one count() below (Spark has no per-query
+    override for spark.sql.adaptive.enabled) — queries planned
+    concurrently in the same session during that window are planned
+    without AQE; not thread-safe against concurrent DDL of that conf.
+    Both are correctness-neutral; on a cluster deployment this whole
+    function is the bucketed Iceberg doc-table write and neither applies.
     """
     key_cols = [F.col(k) for k in keys]
     if num_partitions is None:
@@ -130,7 +157,10 @@ def assign_doc_ids(
     )
     out = (
         local.join(F.broadcast(off_df), "_pid")
-        .withColumn("doc_id", (F.col("_rn") + F.col("_off")).cast("long"))
+        .withColumn(
+            "doc_id",
+            (F.col("_rn") + F.col("_off") + F.lit(int(base))).cast("long"),
+        )
         .drop("_pid", "_rn", "_off")
     )
     # Rebalance the doc store AFTER ids are assigned — BY HASH OF doc_id.
@@ -304,9 +334,13 @@ def _stem_tokens(col):
 #: worker-process-level stem memo for the fused finisher: python workers
 #: are reused across tasks, and Zipf token statistics make the raw-type
 #: set nearly identical between partitions, so after the first task the
-#: per-task stemming cost collapses to dict lookups. Bounded by |vocab|
-#: seen by the worker; never crosses the wire.
+#: per-task stemming cost collapses to dict lookups. Never crosses the
+#: wire; capped at _FUSED_STEM_MEMO_MAX entries (evict-all on overflow —
+#: at web-scale type counts an unbounded memo would grow a long-lived
+#: worker without limit, and Zipf stats mean a full rebuild re-converges
+#: within one batch).
 _FUSED_STEM_MEMO: dict = {}
+_FUSED_STEM_MEMO_MAX = 2_000_000
 
 
 def _fused_finish(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
@@ -317,6 +351,18 @@ def _fused_finish(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]"
     groupby(doc_id, term).sum, and attach doclen = groupby(doc_id)
     transform-sum. REQUIRES the partition to hold complete documents
     (guaranteed by hash(doc_id) clustering — see _english_index_parts).
+
+    Sizing requirement: the whole partition's aggregated (doc_id, raw,
+    tf_raw) stream is buffered as ONE pandas frame, so per-task memory
+    is bounded by docs-per-partition x distinct-types-per-doc. The
+    assign_doc_ids store is data-sized (and hash-balanced in rows AND
+    bytes) exactly so this bound stays flat as the corpus grows — at
+    cluster scale size ``num_partitions`` to keep partitions at the
+    usual 100-200 MB, which keeps this frame well under 1 GB. A skewed
+    external doc store should be repartition()'d first (the non-
+    clustered branch below does); if a deployment cannot bound its
+    partitions, use english_strategy="inline", which streams Arrow
+    batches instead of buffering the partition.
     """
     import numpy as np
 
@@ -343,6 +389,8 @@ def _fused_finish(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]"
         t = memo.get(r, _FUSED_STEM_MEMO)  # sentinel: not-yet-stemmed
         if t is _FUSED_STEM_MEMO:
             t = None if (not r or r in stops) else porter_stem(r)
+            if len(memo) >= _FUSED_STEM_MEMO_MAX:
+                memo.clear()
             memo[r] = t
         if t is None:
             type_to_term[i] = -1
@@ -479,6 +527,11 @@ def _english_index_parts(
         tokens = raw_tf.mapInPandas(
             _fused_finish, "term string, doc_id long, tf long, doclen long"
         )
+        # every row of a doc is emitted by the one finisher task holding
+        # the doc (hash(doc_id) clustering) — the invariant the
+        # zero-shuffle segment encoder keys off
+        # (postings.encode_postings_partition_local)
+        tokens._lms_doc_complete_partitions = True
         doc_stats = (
             docs.select("doc_id")
             .join(
@@ -554,7 +607,8 @@ def _english_index_parts(
 def _tf_english_fast(
     docs: DataFrame, text_col: str, fold_numbers: bool
 ) -> DataFrame:
-    """Back-compat shim: (doc_id, term, tf) via the inline-stem path."""
+    """Back-compat shim: (doc_id, term, tf) via _english_index_parts'
+    default strategy (``fused``)."""
     _, tokens = _english_index_parts(docs, text_col, fold_numbers)
     return tokens.select("doc_id", "term", "tf")
 

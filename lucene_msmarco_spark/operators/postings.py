@@ -85,6 +85,22 @@ SEGMENTED_SCHEMA = "segment int, " + POSTINGS_SCHEMA + ", gdf long"
 
 DEFAULT_BLOCK_SIZE = 128
 DEFAULT_N_SEGMENTS = 32
+#: target segment size for the data-sized layout (derive_n_segments):
+#: bounds every encode/score task's memory by ~2^18 docs' postings
+#: regardless of corpus size — 10^9 docs -> ~4k segments, 10^4 docs -> 1.
+DEFAULT_DOCS_PER_SEGMENT = 262_144
+
+
+def derive_n_segments(
+    n_docs: int, docs_per_segment: int = DEFAULT_DOCS_PER_SEGMENT
+) -> int:
+    """Data-sized segment count: grows with the corpus (bounded task
+    memory at 10^9 docs), collapses to 1 at toy scale (no over-split).
+    Callers wanting more query-time parallelism on small corpora pass an
+    explicit ``n_segments`` instead — the default must stay a pure
+    function of data size, not cores (core-coupled partitioning is the
+    scaling-anti-pattern measured in BENCH/BASELINE.md)."""
+    return max(1, -(-int(n_docs) // int(docs_per_segment)))
 
 
 # ---------------------------------------------------------------------------
@@ -211,6 +227,7 @@ def encode_postings_segmented(
     block_size: int = DEFAULT_BLOCK_SIZE,
     n_segments: int = DEFAULT_N_SEGMENTS,
     n_docs: int | None = None,
+    with_gdf: bool = True,
 ) -> DataFrame:
     """tokens(term, doc_id, tf, doclen) -> doc-range-segmented postings.
 
@@ -245,77 +262,147 @@ def encode_postings_segmented(
         F.lit(int(n_segments) - 1),
     ).cast("int")
     seeded = tokens.withColumn("segment", seg)
-    names = [c.split(" ")[0]
-             for c in ("segment int, " + POSTINGS_SCHEMA).split(", ")]
+    names = _SEGMENT_ROW_NAMES
 
     def encode_segment(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        from ..functions.varint import (
-            delta_encode_segmented,
-            varint_encode_with_sizes,
-        )
-
-        # Whole-segment batch encode: ONE numpy pass over the sorted
-        # (term, doc_id) token arrays builds every term's delta/varint
-        # blobs and block stats — the per-term-loop form paid the numpy
-        # fixed cost ~30x per term (measured: encode dominated by it).
-        if pdf.shape[0] == 0:
-            return pd.DataFrame(columns=names)
-        codes, terms = pd.factorize(pdf["term"], sort=False)
-        order = np.lexsort((pdf["doc_id"].values, codes))
-        codes = codes[order]
-        docs = pdf["doc_id"].values[order].astype(np.int64)
-        tfs = pdf["tf"].values[order].astype(np.int64)
-        dls = pdf["doclen"].values[order].astype(np.int64)
-        counts = np.bincount(codes, minlength=len(terms)).astype(np.int64)
-        ends = np.cumsum(counts)
-        starts = ends - counts
-
-        def split(buf: bytes, nbytes: np.ndarray) -> list[bytes]:
-            group_bytes = np.add.reduceat(nbytes, starts)
-            offs = np.concatenate(([0], np.cumsum(group_bytes)))
-            return [bytes(buf[offs[i]:offs[i + 1]])
-                    for i in range(len(terms))]
-
-        doc_buf, doc_nb = varint_encode_with_sizes(
-            delta_encode_segmented(docs, counts)
-        )
-        tf_buf, tf_nb = varint_encode_with_sizes(tfs)
-        dl_buf, dl_nb = varint_encode_with_sizes(dls)
-
-        # per-block stats across ALL terms at once: global block starts
-        # (every term restarts its block grid), then reduceat segments
-        bs = block_size
-        nb = (counts + bs - 1) // bs
-        block_term = np.repeat(np.arange(len(terms)), nb)
-        nb_offs = np.cumsum(nb) - nb
-        within = np.arange(int(nb.sum())) - np.repeat(nb_offs, nb)
-        bstarts = starts[block_term] + within * bs
-        bends = np.minimum(bstarts + bs, ends[block_term])
-        bmax_tf = np.maximum.reduceat(tfs, bstarts).astype(np.int32)
-        bmin_dl = np.minimum.reduceat(dls, bstarts).astype(np.int32)
-        block_last = docs[bends - 1]
-        cf = np.add.reduceat(tfs, starts)
-
-        doc_blobs = split(doc_buf, doc_nb)
-        tf_blobs = split(tf_buf, tf_nb)
-        dl_blobs = split(dl_buf, dl_nb)
-        nb_ends = np.cumsum(nb)
-        rows = [
-            (
-                int(key[0]), terms[i], int(counts[i]), int(cf[i]),
-                doc_blobs[i], tf_blobs[i], dl_blobs[i],
-                bs, int(counts[i]),
-                block_last[nb_offs[i]:nb_ends[i]].tolist(),
-                bmax_tf[nb_offs[i]:nb_ends[i]].tolist(),
-                bmin_dl[nb_offs[i]:nb_ends[i]].tolist(),
-            )
-            for i in range(len(terms))
-        ]
-        return pd.DataFrame(rows, columns=names)
+        return _encode_tokens_frame(int(key[0]), pdf, block_size)
 
     partials = seeded.groupBy("segment").applyInPandas(
         encode_segment, schema="segment int, " + POSTINGS_SCHEMA
     )
+    if not with_gdf:
+        return partials
+    return partials.withColumn(
+        "gdf", F.sum("df").over(Window.partitionBy("term"))
+    )
+
+
+_SEGMENT_ROW_NAMES = [
+    c.split(" ")[0] for c in ("segment int, " + POSTINGS_SCHEMA).split(", ")
+]
+
+
+def _encode_tokens_frame(
+    segment: int, pdf: pd.DataFrame, block_size: int
+) -> pd.DataFrame:
+    """One segment's (term, doc_id, tf, doclen) pandas frame -> blob rows.
+
+    Whole-segment batch encode: ONE numpy pass over the sorted
+    (term, doc_id) token arrays builds every term's delta/varint
+    blobs and block stats — the per-term-loop form paid the numpy
+    fixed cost ~30x per term (measured: encode dominated by it).
+    """
+    from ..functions.varint import (
+        delta_encode_segmented,
+        varint_encode_with_sizes,
+    )
+
+    names = _SEGMENT_ROW_NAMES
+    if pdf.shape[0] == 0:
+        return pd.DataFrame(columns=names)
+    codes, terms = pd.factorize(pdf["term"], sort=False)
+    order = np.lexsort((pdf["doc_id"].values, codes))
+    codes = codes[order]
+    docs = pdf["doc_id"].values[order].astype(np.int64)
+    tfs = pdf["tf"].values[order].astype(np.int64)
+    dls = pdf["doclen"].values[order].astype(np.int64)
+    counts = np.bincount(codes, minlength=len(terms)).astype(np.int64)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+
+    def split(buf: bytes, nbytes: np.ndarray) -> list[bytes]:
+        group_bytes = np.add.reduceat(nbytes, starts)
+        offs = np.concatenate(([0], np.cumsum(group_bytes)))
+        return [bytes(buf[offs[i]:offs[i + 1]])
+                for i in range(len(terms))]
+
+    doc_buf, doc_nb = varint_encode_with_sizes(
+        delta_encode_segmented(docs, counts)
+    )
+    tf_buf, tf_nb = varint_encode_with_sizes(tfs)
+    dl_buf, dl_nb = varint_encode_with_sizes(dls)
+
+    # per-block stats across ALL terms at once: global block starts
+    # (every term restarts its block grid), then reduceat segments
+    bs = block_size
+    nb = (counts + bs - 1) // bs
+    block_term = np.repeat(np.arange(len(terms)), nb)
+    nb_offs = np.cumsum(nb) - nb
+    within = np.arange(int(nb.sum())) - np.repeat(nb_offs, nb)
+    bstarts = starts[block_term] + within * bs
+    bends = np.minimum(bstarts + bs, ends[block_term])
+    bmax_tf = np.maximum.reduceat(tfs, bstarts).astype(np.int32)
+    bmin_dl = np.minimum.reduceat(dls, bstarts).astype(np.int32)
+    block_last = docs[bends - 1]
+    cf = np.add.reduceat(tfs, starts)
+
+    doc_blobs = split(doc_buf, doc_nb)
+    tf_blobs = split(tf_buf, tf_nb)
+    dl_blobs = split(dl_buf, dl_nb)
+    nb_ends = np.cumsum(nb)
+    rows = [
+        (
+            segment, terms[i], int(counts[i]), int(cf[i]),
+            doc_blobs[i], tf_blobs[i], dl_blobs[i],
+            bs, int(counts[i]),
+            block_last[nb_offs[i]:nb_ends[i]].tolist(),
+            bmax_tf[nb_offs[i]:nb_ends[i]].tolist(),
+            bmin_dl[nb_offs[i]:nb_ends[i]].tolist(),
+        )
+        for i in range(len(terms))
+    ]
+    return pd.DataFrame(rows, columns=names)
+
+
+def encode_postings_partition_local(
+    tokens: DataFrame, block_size: int = DEFAULT_BLOCK_SIZE,
+    with_gdf: bool = True,
+) -> DataFrame:
+    """Zero-token-shuffle segmented encode: each EXISTING partition of the
+    tokens table becomes one segment (segment id = spark_partition_id).
+
+    REQUIRES partitions to hold complete documents — every (doc_id, *)
+    row of a doc in the same partition (the fused english build's output
+    satisfies this by construction: one mapInPandas finisher per
+    hash(doc_id)-clustered doc-store partition; it tags the frame with
+    ``_lms_doc_complete_partitions``). Segments then partition the doc
+    space disjointly, which is the only property the segmented
+    ``bmw_search`` scatter-gather merge needs — doc-id CONTIGUITY (the
+    range layout) buys slightly denser delta encoding but is not
+    required for correctness.
+
+    Scale story: chained narrow op over the build output, so between the
+    doc-store scan and the finished blob rows NOTHING crosses the wire —
+    the fused build + this encoder emit the shippable compressed index
+    with the doc-store write as the ONLY token-level exchange in the
+    whole pipeline (VERDICT r3 next-#1). The lone remaining shuffle is
+    the ``gdf`` window over the already-encoded blob ROWS (term-level
+    metadata, orders of magnitude smaller than the token stream).
+
+    Task memory = one partition's tokens as a pandas frame — the same
+    bound the fused finisher already imposes, so any partition count
+    sized for the build is sized for this too.
+    """
+    seeded = tokens.withColumn(
+        "segment", F.spark_partition_id().cast("int")
+    )
+
+    def encode_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        frames = list(batches)
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        if pdf.shape[0] == 0:
+            return
+        yield _encode_tokens_frame(
+            int(pdf["segment"].iloc[0]), pdf, block_size
+        )
+
+    partials = seeded.mapInPandas(
+        encode_part, schema="segment int, " + POSTINGS_SCHEMA
+    )
+    if not with_gdf:
+        return partials
     return partials.withColumn(
         "gdf", F.sum("df").over(Window.partitionBy("term"))
     )
@@ -383,12 +470,36 @@ class CompactIndex:
     def from_index(
         cls, idx: InvertedIndex, block_size: int = DEFAULT_BLOCK_SIZE,
         salt_df_threshold: int = 250_000, n_salts: int = 32,
-        n_segments: int | None = None,
+        n_segments: int | str | None = "auto",
     ) -> "CompactIndex":
-        """``n_segments``: build the doc-range-segmented layout instead
-        of one blob per term (recommended for BMW at scale — see
-        encode_postings_segmented)."""
-        if n_segments is not None:
+        """Build the compact artifact. ``n_segments`` picks the layout:
+
+        - ``"auto"`` (default) — SEGMENTED, the recommended scale
+          layout. When the tokens table's partitions hold complete
+          documents (the fused english build tags this), the encode is
+          partition-local — zero token shuffle
+          (encode_postings_partition_local); otherwise one doc-range
+          shuffle with a data-sized segment count
+          (derive_n_segments(n_docs)).
+        - ``int`` — segmented with exactly that many doc-range segments.
+        - ``None`` — one blob per term (salted two-stage build), the
+          situational layout for the per-qid doc-at-a-time WAND; at
+          corpus scale a Zipf-head term becomes one giant blob, so
+          prefer the default unless the index is small and the query
+          path needs single-cursor skipping.
+        """
+        if n_segments == "auto":
+            if getattr(idx.tokens, "_lms_doc_complete_partitions", False):
+                postings = encode_postings_partition_local(
+                    idx.tokens, block_size
+                )
+            else:
+                postings = encode_postings_segmented(
+                    idx.tokens, block_size,
+                    derive_n_segments(idx.stats.n_docs),
+                    n_docs=idx.stats.n_docs,
+                )
+        elif n_segments is not None:
             postings = encode_postings_segmented(
                 idx.tokens, block_size, n_segments,
                 n_docs=idx.stats.n_docs,
@@ -598,6 +709,8 @@ def bmw_search(
     query_terms: DataFrame,
     k: int = 100,
     cfg: BM25Config = BM25Config(),
+    rank_round: int | None = None,
+    max_batch_queries: int = 65_536,
 ) -> DataFrame:
     """BM25 top-k via Block-Max WAND over the compressed postings.
 
@@ -619,7 +732,34 @@ def bmw_search(
     ``cfg.smallfloat_norms`` is honored on both paths (doclens — and on
     the WAND path the block-min-dl bounds, safely, by monotonicity —
     are SmallFloat4-quantized before scoring).
+
+    ``rank_round``: segmented layout only — select and rank the top-k
+    under (round(score, rank_round) desc, doc_id asc) instead of the
+    exact score, applied consistently in the per-segment selection AND
+    the global merge, so the selection rule matches a rounded-score
+    oracle exact-by-construction (no "headroom k" needed). The rounded
+    order is a total order consistent across segments and segments are
+    doc-disjoint, so union-of-local-top-k still covers the global top-k.
+    Returned ``score`` stays unrounded. Unsupported on the termwise
+    layout: WAND prunes with bounds on the EXACT score, and an exact
+    upper bound below the rounded threshold does not imply the rounded
+    score is (round-up at the boundary) — raising instead of silently
+    ranking by a different rule.
+
+    ``max_batch_queries``: segmented path — the query bag is collected
+    to the driver and broadcast (it is the SMALL side by design), but
+    both the broadcast size and each segment task's (term x query)
+    score expansion grow with the batch, so batches above this bound
+    are scored as sequential chunks of <= this many queries and
+    unioned (results are per-qid, so chunking is trivially exact). The
+    default keeps a 3-term-average chunk's broadcast in the tens of MB
+    and is measured safe at 131k queries (BENCH/BASELINE.md).
     """
+    if rank_round is not None and not compact.segmented:
+        raise ValueError(
+            "rank_round requires the segmented layout (WAND's exact-score"
+            " pruning bounds are not safe under a rounded rank order)"
+        )
     qt = query_terms
     if "weight" not in qt.columns:
         qt = qt.withColumn("weight", F.lit(1.0))
@@ -656,6 +796,28 @@ def bmw_search(
             return spark.createDataFrame(
                 [], "qid string, doc_id long, rank int, score double"
             )
+        uq = qt_pdf["qid"].drop_duplicates().tolist()
+        if len(uq) > max_batch_queries:
+            # chunked scatter-gather: per-qid results are independent,
+            # so scoring <=max_batch_queries at a time and unioning is
+            # exact; bounds the broadcast AND each segment task's
+            # (term x query) expansion at any batch size
+            outs = []
+            for i in range(0, len(uq), max_batch_queries):
+                chunk = set(uq[i:i + max_batch_queries])
+                # qw is already qtf x weight; re-enter with weight=1
+                sub = spark.createDataFrame(
+                    qt_pdf[qt_pdf["qid"].isin(chunk)]
+                    .rename(columns={"qw": "qtf"})
+                )
+                outs.append(bmw_search(
+                    compact, sub, k=k, cfg=cfg, rank_round=rank_round,
+                    max_batch_queries=max_batch_queries,
+                ))
+            out = outs[0]
+            for nxt in outs[1:]:
+                out = out.unionByName(nxt)
+            return out
         qids: list[str] = []
         qindex: dict[str, int] = {}
         term_to_q: dict[str, list[tuple[int, float]]] = {}
@@ -752,7 +914,11 @@ def bmw_search(
             sums = np.add.reduceat(s_r, grp)
             # per-query exact (score desc, doc asc) top-k, still batched:
             # rank within query via a second lexsort + cumcount mask
-            order2 = np.lexsort((uniq_d, -sums, uniq_q))
+            # (rank_round: same selection under the rounded total order)
+            rank_s = sums if rank_round is None else np.round(
+                sums, rank_round
+            )
+            order2 = np.lexsort((uniq_d, -rank_s, uniq_q))
             uniq_d, uniq_q, sums = (
                 uniq_d[order2], uniq_q[order2], sums[order2]
             )
@@ -788,7 +954,8 @@ def bmw_search(
             # are disjoint: the global top-k is a pure selection
             d = np.concatenate(pdf["docs"].to_numpy())
             s = np.concatenate(pdf["scores"].to_numpy())
-            sel = np.lexsort((d, -s))[:k]
+            rank_s = s if rank_round is None else np.round(s, rank_round)
+            sel = np.lexsort((d, -rank_s))[:k]
             d, s = d[sel], s[sel]
             return pd.DataFrame({
                 "qid": np.repeat(bq.value[0][int(key[0])], d.size),

@@ -315,3 +315,268 @@ class IncrementalIngest:
         )
         merged.write.mode("overwrite").parquet(self.global_dir)
         return self.spark.read.parquet(self.global_dir)
+
+
+# ---------------------------------------------------------------------------
+# Segmented CompactIndex writer: append + compaction
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SegmentedIndexWriter:
+    """Incremental append + background compaction over the SEGMENTED
+    CompactIndex layout — the engine's ``IndexWriter`` analog for the
+    recommended scale artifact (the reference's CREATE-mode IndexWriter
+    lifecycle, ``indexing/MsMarcoIndexer.java:49-59``, where each flush
+    adds a segment and background merges fold small segments together).
+
+    Layout under ``index_dir``::
+
+        _manifest.jsonl     append-only log; one row per committed op
+        seg-<id>/           parquet postings rows (segment int +
+                            POSTINGS_SCHEMA; per-segment df/cf, NO gdf —
+                            global df is a load-time window so appends
+                            never rewrite old segments)
+
+    Invariants the query side relies on:
+    - doc ids are allocated from a writer-level base so every append's
+      range is disjoint (assign_doc_ids(base=...)) — the doc space stays
+      globally partitioned across ALL live segments;
+    - segment ids are allocated from a writer-level base so no two live
+      generations collide — every doc's postings carry exactly ONE
+      segment id, the property bmw_search's exact merge needs;
+    - the manifest is the single source of truth: an op is visible iff
+      its row is in the manifest AND its parquet ``_SUCCESS`` exists.
+      ``append`` is content-addressed (xxhash of the batch) so a killed
+      run re-appended lands exactly once (kill between parquet write
+      and manifest commit -> the orphan directory is simply rewritten).
+
+    Scale notes: an append touches ONLY its own batch (build + encode at
+    batch size, zero reads of existing segments); ``compact`` rewrites
+    only the generations it merges (decode -> re-segment at the merged
+    size — Lucene's background merge, not a full rebuild); ``load`` is
+    one parquet read + a blob-level window for gdf.
+    """
+
+    spark: SparkSession
+    index_dir: str
+    config: BuildConfig = field(default_factory=BuildConfig)
+    keys: tuple = ("conv_id", "turn_idx")
+
+    @property
+    def manifest_path(self) -> str:
+        return os.path.join(self.index_dir, "_manifest.jsonl")
+
+    # ---- manifest state --------------------------------------------------
+
+    def _entries(self) -> list[dict]:
+        out = []
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                for line in f:
+                    if line.strip():
+                        out.append(json.loads(line))
+        return out
+
+    def state(self) -> dict:
+        """Derived writer state: doc/segment id watermarks, global stats
+        and the LIVE generation list (ops not replaced by a later
+        compaction)."""
+        entries = self._entries()
+        replaced: set[int] = set()
+        for e in entries:
+            for g in e.get("replaces", ()):
+                replaced.add(int(g))
+        live = [e for e in entries if e["gen"] not in replaced]
+        appends = [e for e in entries if e["op"] == "append"]
+        return {
+            "next_gen": max((e["gen"] for e in entries), default=-1) + 1,
+            "doc_base": sum(e["n_docs"] for e in appends),
+            "seg_base": max(
+                (e["seg_base"] + e["seg_span"] for e in entries), default=0
+            ),
+            "n_docs": sum(e["n_docs"] for e in appends),
+            "total_cf": sum(e["total_cf"] for e in appends),
+            "live": live,
+        }
+
+    def _gen_dir(self, gen: int) -> str:
+        return os.path.join(self.index_dir, f"seg-{gen:06d}")
+
+    def _commit(self, entry: dict) -> None:
+        os.makedirs(self.index_dir, exist_ok=True)
+        with open(self.manifest_path, "a") as f:
+            f.write(json.dumps(entry) + "\n")
+
+    def _fingerprint(self, batch_df: DataFrame) -> str:
+        """Content address of a batch: order-independent xxhash over all
+        columns + row count. One cheap aggregate, no driver collect of
+        data."""
+        row = batch_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor, not sum: order-independent AND overflow-free
+            # under ANSI mode (xxhash64 spans the full int64 range)
+            F.expr(
+                "bit_xor(xxhash64(" + ", ".join(batch_df.columns) + "))"
+            ).alias("h"),
+        ).collect()[0]
+        h = (row["h"] or 0) & 0xFFFFFFFFFFFFFFFF
+        return f"{row['n']}-{h:016x}"
+
+    # ---- operations ------------------------------------------------------
+
+    def append(self, batch_df: DataFrame) -> dict:
+        """Index one transcript batch as a new generation of segment
+        rows. Idempotent: re-appending a batch already in the manifest
+        (same content fingerprint) is a no-op returning the prior entry;
+        a run killed after the parquet write but before the manifest
+        commit leaves an orphan dir that the retry overwrites."""
+        from ..operators.index import assign_doc_ids, build_index
+        from ..operators.postings import (
+            derive_n_segments,
+            encode_postings_partition_local,
+            encode_postings_segmented,
+        )
+
+        fp = self._fingerprint(batch_df)
+        st = self.state()
+        # scan ALL appends ever (a compacted-away append still owns its
+        # doc-id range — re-inserting its batch would duplicate docs)
+        for e in self._entries():
+            if e["op"] == "append" and e.get("batch") == fp:
+                return e
+
+        cfg = self.config
+        docs = assign_doc_ids(batch_df, list(self.keys),
+                              base=st["doc_base"])
+        idx = build_index(docs, analyzer=cfg.analyzer,
+                          fold_numbers=cfg.fold_numbers, cache=False)
+        if getattr(idx.tokens, "_lms_doc_complete_partitions", False):
+            seg = encode_postings_partition_local(
+                idx.tokens, cfg.block_size, with_gdf=False
+            )
+        else:
+            seg = encode_postings_segmented(
+                idx.tokens, cfg.block_size,
+                derive_n_segments(idx.stats.n_docs),
+                n_docs=idx.stats.n_docs, with_gdf=False,
+            )
+        # NOTE: batch-local segment ids are offset into the writer's
+        # global segment-id space; the doc-range formula inside
+        # encode_postings_segmented uses batch-LOCAL doc ids relative to
+        # doc_base, so shift docs' segment mapping only via the id base
+        gen = st["next_gen"]
+        seg = seg.withColumn(
+            "segment",
+            (F.col("segment") + F.lit(int(st["seg_base"]))).cast("int"),
+        )
+        seg.write.mode("overwrite").parquet(self._gen_dir(gen))
+        written = self.spark.read.parquet(self._gen_dir(gen))
+        seg_ids = written.agg(
+            F.min("segment").alias("lo"), F.max("segment").alias("hi")
+        ).collect()[0]
+        entry = {
+            "op": "append",
+            "gen": gen,
+            "batch": fp,
+            "n_docs": int(idx.stats.n_docs),
+            "total_cf": int(idx.stats.total_cf),
+            "doc_base": int(st["doc_base"]),
+            "seg_base": int(st["seg_base"]),
+            "seg_span": int(
+                (seg_ids["hi"] - st["seg_base"] + 1)
+                if seg_ids["hi"] is not None else 0
+            ),
+            "completed_at": time.time(),
+        }
+        self._commit(entry)
+        idx.unpersist()
+        docs.unpersist()
+        return entry
+
+    def compact(self, gens: list[int] | None = None) -> dict | None:
+        """Merge the given generations (default: ALL live ones) into a
+        single re-segmented generation — the Lucene background-merge
+        analog. Doc ids are untouched, so query results are identical
+        before and after; only the physical segment layout changes
+        (fewer, data-sized segments; one blob per (term, segment))."""
+        from ..operators.postings import (
+            derive_n_segments,
+            encode_postings_segmented,
+            postings_to_tokens,
+        )
+
+        st = self.state()
+        live = {e["gen"]: e for e in st["live"]}
+        if gens is None:
+            gens = sorted(live)
+        gens = [g for g in gens if g in live]
+        if len(gens) < 2:
+            return None
+        paths = [self._gen_dir(g) for g in gens]
+        old = self.spark.read.parquet(*paths)
+        tokens = postings_to_tokens(old)
+        merged_docs = sum(live[g]["n_docs"] for g in gens
+                          if live[g]["op"] == "append")
+        # compacted gens may themselves be compactions; recover doc count
+        # from their recorded n_docs either way
+        merged_docs = merged_docs or sum(
+            live[g].get("n_docs", 0) for g in gens
+        )
+        # re-segment over the merged doc-id RANGE: ids are dense within
+        # the union of the merged appends only if the merge covers a
+        # contiguous generation prefix; the doc-range formula needs just
+        # max(doc_id), so let the encoder compute it (n_docs=None) — one
+        # cheap pass over the blob-level decode
+        seg = encode_postings_segmented(
+            tokens, self.config.block_size,
+            derive_n_segments(merged_docs or 1),
+            n_docs=None, with_gdf=False,
+        )
+        gen = st["next_gen"]
+        seg = seg.withColumn(
+            "segment",
+            (F.col("segment") + F.lit(int(st["seg_base"]))).cast("int"),
+        )
+        seg.write.mode("overwrite").parquet(self._gen_dir(gen))
+        written = self.spark.read.parquet(self._gen_dir(gen))
+        hi = written.agg(F.max("segment").alias("hi")).collect()[0]["hi"]
+        entry = {
+            "op": "compact",
+            "gen": gen,
+            "replaces": [int(g) for g in gens],
+            "n_docs": int(merged_docs),
+            "total_cf": sum(
+                int(live[g].get("total_cf", 0)) for g in gens
+            ),
+            "seg_base": int(st["seg_base"]),
+            "seg_span": int((hi - st["seg_base"] + 1) if hi is not None
+                            else 0),
+            "completed_at": time.time(),
+        }
+        self._commit(entry)
+        return entry
+
+    def load(self):
+        """Open the live index as a CompactIndex: one parquet read over
+        the live generation dirs + the gdf window over blob rows;
+        GlobalStats from manifest sums (no data pass)."""
+        from pyspark.sql import Window
+
+        from ..operators.index import GlobalStats
+        from ..operators.postings import CompactIndex
+
+        st = self.state()
+        if not st["live"]:
+            raise FileNotFoundError(f"no live segments in {self.index_dir}")
+        paths = [self._gen_dir(e["gen"]) for e in st["live"]]
+        postings = self.spark.read.parquet(*paths).withColumn(
+            "gdf", F.sum("df").over(Window.partitionBy("term"))
+        )
+        n, cf = st["n_docs"], st["total_cf"]
+        return CompactIndex(
+            postings=postings,
+            stats=GlobalStats(
+                n_docs=n, avgdl=(cf / n) if n else 0.0, total_cf=cf,
+            ),
+            analyzer=self.config.analyzer,
+        )

@@ -182,3 +182,144 @@ def test_incremental_ingest_and_merge(spark, tmp_path):
         toks.groupBy("term").agg(F.count(F.lit(1)).alias("df2")), "term"
     ).filter(F.col("df") != F.col("df2"))
     assert chk.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# SegmentedIndexWriter: append + compaction over the CompactIndex layout
+# ---------------------------------------------------------------------------
+
+WRITER_QUERIES = [
+    ("q1", "ricufex kekegra report"),
+    ("q2", "yacuv biripol yacuv"),
+    ("q3", "zedzedwi rigrasto bicubi cugramo"),
+    ("q4", "tamori polgrake verlu"),
+]
+
+
+def _writer_fixture(spark, tmp_path, n=240, n_batches=3):
+    from lucene_msmarco_spark.streaming.incremental import (
+        SegmentedIndexWriter,
+    )
+
+    pdf = (
+        transcripts_local(n, seed=11)
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    size = -(-n // n_batches)
+    batches = [pdf.iloc[i * size:(i + 1) * size] for i in range(n_batches)]
+    w = SegmentedIndexWriter(spark, str(tmp_path / "segidx"))
+    return w, pdf, batches
+
+
+def _full_rebuild(spark, pdf):
+    from lucene_msmarco_spark.operators.index import (
+        assign_doc_ids,
+        build_index,
+    )
+    from lucene_msmarco_spark.operators.postings import CompactIndex
+
+    docs = assign_doc_ids(spark.createDataFrame(pdf),
+                          ["conv_id", "turn_idx"])
+    idx = build_index(docs, analyzer="english", cache=False)
+    return CompactIndex.from_index(idx)
+
+
+def _bmw_run(spark, compact, k=10):
+    from lucene_msmarco_spark.operators.postings import bmw_search
+    from lucene_msmarco_spark.operators.retrieval import compile_queries
+
+    qdf = spark.createDataFrame(WRITER_QUERIES, "qid string, qtext string")
+    qt = compile_queries(qdf, analyzer="english")
+    return bmw_search(compact, qt, k=k).orderBy("qid", "rank").collect()
+
+
+def _assert_same_run(a, b):
+    assert len(a) == len(b) and len(a) > 0
+    for ra, rb in zip(a, b):
+        assert (ra["qid"], ra["doc_id"], ra["rank"]) == (
+            rb["qid"], rb["doc_id"], rb["rank"]
+        )
+        assert abs(ra["score"] - rb["score"]) <= 1e-9 * max(
+            1.0, abs(ra["score"])
+        )
+
+
+def test_segmented_writer_append_equals_full_rebuild(spark, tmp_path):
+    """Three appended batches must answer queries rank+score identical
+    to one monolithic build over the concatenated corpus (batches are
+    ordered slices, so doc-id assignment coincides)."""
+    w, pdf, batches = _writer_fixture(spark, tmp_path)
+    for b in batches:
+        w.append(spark.createDataFrame(b))
+    inc = w.load()
+    full = _full_rebuild(spark, pdf)
+    assert inc.stats.n_docs == full.stats.n_docs
+    assert abs(inc.stats.avgdl - full.stats.avgdl) < 1e-12
+    assert inc.stats.total_cf == full.stats.total_cf
+    _assert_same_run(_bmw_run(spark, inc), _bmw_run(spark, full))
+    # decoded content identical too (postings-level equivalence)
+    back = (
+        postings_to_tokens(inc.postings).toPandas()
+        .sort_values(["term", "doc_id"]).reset_index(drop=True)
+    )
+    truth = (
+        postings_to_tokens(full.postings).toPandas()
+        .sort_values(["term", "doc_id"]).reset_index(drop=True)
+    )
+    assert back.equals(truth)
+
+
+def test_segmented_writer_compact_preserves_results(spark, tmp_path):
+    """Compaction rewrites the physical layout only: same doc ids, same
+    ranks/scores, fewer live generations; a compacted-away batch is
+    still recognized as already-appended (no doc duplication)."""
+    w, pdf, batches = _writer_fixture(spark, tmp_path)
+    entries = [w.append(spark.createDataFrame(b)) for b in batches]
+    before = _bmw_run(spark, w.load())
+    centry = w.compact()
+    assert centry is not None
+    assert sorted(centry["replaces"]) == [e["gen"] for e in entries]
+    st = w.state()
+    assert [e["gen"] for e in st["live"]] == [centry["gen"]]
+    after_idx = w.load()
+    assert after_idx.stats.n_docs == len(pdf)
+    _assert_same_run(before, _bmw_run(spark, after_idx))
+    # idempotence survives compaction: re-append of batch 0 is a no-op
+    again = w.append(spark.createDataFrame(batches[0]))
+    assert again["gen"] == entries[0]["gen"]
+    assert w.state()["n_docs"] == len(pdf)
+    # compacting a single live gen is a no-op
+    assert w.compact() is None
+
+
+def test_segmented_writer_kill_resume_idempotent(spark, tmp_path,
+                                                 monkeypatch):
+    """Kill between the segment parquet write and the manifest commit:
+    the retry overwrites the orphan dir and commits exactly one entry."""
+    import lucene_msmarco_spark.streaming.incremental as inc_mod
+
+    w, pdf, batches = _writer_fixture(spark, tmp_path, n_batches=2)
+    w.append(spark.createDataFrame(batches[0]))
+
+    boom = RuntimeError("simulated kill before manifest commit")
+
+    def die(entry):
+        raise boom
+
+    monkeypatch.setattr(w, "_commit", die)
+    with pytest.raises(RuntimeError):
+        w.append(spark.createDataFrame(batches[1]))
+    monkeypatch.undo()
+    # orphan parquet exists but is invisible: state unchanged
+    st = w.state()
+    assert st["n_docs"] == len(batches[0])
+    assert len(st["live"]) == 1
+    # retry lands exactly once and the index equals the full rebuild
+    w.append(spark.createDataFrame(batches[1]))
+    st = w.state()
+    assert st["n_docs"] == len(pdf)
+    appends = [e for e in w._entries() if e["op"] == "append"]
+    assert len(appends) == 2
+    full = _full_rebuild(spark, pdf)
+    _assert_same_run(_bmw_run(spark, w.load()), _bmw_run(spark, full))

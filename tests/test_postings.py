@@ -206,7 +206,9 @@ def test_block_stats_are_valid_bounds(idx):
 
 @pytest.fixture(scope="module")
 def compact(idx):
-    return CompactIndex.from_index(idx, block_size=16)
+    # termwise (one blob per term) layout — the situational per-qid WAND
+    # path; the DEFAULT layout is segmented (see test_from_index_default_*)
+    return CompactIndex.from_index(idx, block_size=16, n_segments=None)
 
 
 def _runs_equal(a, b, score_tol=1e-9):
@@ -239,7 +241,7 @@ def test_bmw_equals_exhaustive(spark, idx, compact, k):
 def test_compact_index_save_load(spark, idx, compact, tmp_path):
     path = str(tmp_path / "cidx")
     compact.save(path)
-    loaded = CompactIndex.from_index(idx, block_size=16).load(spark, path)
+    loaded = CompactIndex.load(spark, path)
     assert loaded.stats == compact.stats
     assert loaded.analyzer == compact.analyzer
     qdf = spark.createDataFrame(QUERIES, "qid string, qtext string")
@@ -348,4 +350,183 @@ def test_segmented_save_load_roundtrip(spark, idx, compact_seg, tmp_path):
         "qid", "rank").collect()
     b = bmw_search(loaded, qt, k=10, cfg=cfg).orderBy(
         "qid", "rank").collect()
+    _runs_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# default layout: segmented, partition-local off the fused build
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def compact_auto(idx):
+    """from_index with NO layout argument — must pick the segmented
+    partition-local encode (the fused english build tags its tokens as
+    doc-complete per partition)."""
+    return CompactIndex.from_index(idx, block_size=16)
+
+
+def test_from_index_default_is_segmented(idx, compact_auto, tokens_pd):
+    """Default layout contract (VERDICT r3 next-#2): segmented schema,
+    lossless content, doc-disjoint segments, correct global df."""
+    assert compact_auto.segmented
+    back = (
+        postings_to_tokens(compact_auto.postings).toPandas()
+        .sort_values(["term", "doc_id"]).reset_index(drop=True)
+    )
+    assert (back["term"].values == tokens_pd["term"].values).all()
+    assert (back["doc_id"].values == tokens_pd["doc_id"].values).all()
+    assert (back["tf"].values == tokens_pd["tf"].values).all()
+    assert (back["doclen"].values == tokens_pd["doclen"].values).all()
+    rows = compact_auto.postings.collect()
+    from lucene_msmarco_spark.operators.postings import _decode_row
+    seg_of_doc: dict[int, set] = {}
+    truth_df = tokens_pd.groupby("term")["doc_id"].count().to_dict()
+    for r in rows:
+        assert r.gdf == truth_df[r.term]
+        docs, _, _ = _decode_row(r)
+        for d in docs:
+            seg_of_doc.setdefault(int(d), set()).add(r.segment)
+    # hash-clustered segments partition the doc space: every doc's
+    # postings live in exactly ONE segment
+    assert all(len(s) == 1 for s in seg_of_doc.values())
+
+
+def test_partition_local_encode_single_blob_shuffle(idx):
+    """The zero-token-shuffle contract: the only Exchange above the
+    cached tokens is the gdf window over the already-encoded blob ROWS —
+    the token stream itself never shuffles into the encode (vs one full
+    token shuffle on the doc-range path)."""
+    enc = CompactIndex.from_index(idx, block_size=16).postings
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    above = plan.split("InMemoryTableScan", 1)[0]
+    assert above.count("Exchange") == 1, above
+    assert "MapInPandas" in above, above
+
+
+@pytest.mark.parametrize("layout", ["auto", 4])
+def test_bmw_auto_layout_equals_exhaustive(spark, idx, compact_auto,
+                                           compact_seg, layout):
+    qdf = spark.createDataFrame(QUERIES, "qid string, qtext string")
+    cfg = BM25Config(k1=0.9, b=0.4)
+    exact = (
+        search(idx, qdf, model="bm25", k=10)
+        .orderBy("qid", "rank").collect()
+    )
+    qt = compile_queries(qdf, analyzer="english")
+    compact_x = compact_auto if layout == "auto" else compact_seg
+    bmw = (
+        bmw_search(compact_x, qt, k=10, cfg=cfg)
+        .orderBy("qid", "rank").collect()
+    )
+    _runs_equal(exact, bmw)
+
+
+def test_derive_n_segments():
+    from lucene_msmarco_spark.operators.postings import (
+        DEFAULT_DOCS_PER_SEGMENT,
+        derive_n_segments,
+    )
+
+    assert derive_n_segments(0) == 1
+    assert derive_n_segments(500) == 1
+    assert derive_n_segments(DEFAULT_DOCS_PER_SEGMENT) == 1
+    assert derive_n_segments(DEFAULT_DOCS_PER_SEGMENT + 1) == 2
+    assert derive_n_segments(10**9) == -(-10**9 // DEFAULT_DOCS_PER_SEGMENT)
+
+
+def test_from_index_auto_without_doc_complete_partitions(spark, idx):
+    """Tokens NOT tagged doc-complete (e.g. rehydrated / external) must
+    fall back to the doc-range shuffle encode — still segmented, still
+    lossless."""
+    plain = idx.tokens.select("term", "doc_id", "tf", "doclen")
+    assert not getattr(plain, "_lms_doc_complete_partitions", False)
+    from lucene_msmarco_spark.operators.index import InvertedIndex
+    idx2 = InvertedIndex(
+        docs=idx.docs, tokens=plain, doc_stats=idx.doc_stats,
+        term_stats=idx.term_stats, stats=idx.stats, analyzer=idx.analyzer,
+    )
+    compact = CompactIndex.from_index(idx2, block_size=16)
+    assert compact.segmented
+    # tiny corpus -> data-sized segment count collapses to 1
+    segs = [r.segment for r in compact.postings.select("segment")
+            .distinct().collect()]
+    assert segs == [0]
+    qdf = spark.createDataFrame(QUERIES[:2], "qid string, qtext string")
+    qt = compile_queries(qdf, analyzer="english")
+    exact = search(idx, qdf, model="bm25", k=10).orderBy(
+        "qid", "rank").collect()
+    bmw = bmw_search(compact, qt, k=10).orderBy("qid", "rank").collect()
+    _runs_equal(exact, bmw)
+
+
+# ---------------------------------------------------------------------------
+# rank_round: selection under the rounded total order
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("digits", [1, 4])
+def test_bmw_rank_round_matches_rounded_oracle(spark, idx, compact_auto,
+                                               digits):
+    """rank_round must reproduce rank-by-(round(score,d) desc, doc asc)
+    over the FULL scored candidate set — the rule the bmw_topk contract
+    query matches against its DuckDB oracle. digits=1 forces real
+    rounded TIES (scores collide at one decimal), so the doc_id
+    tiebreak and cross-segment selection are genuinely exercised."""
+    qdf = spark.createDataFrame(QUERIES, "qid string, qtext string")
+    allscored = (
+        search(idx, qdf, model="bm25", k=10**6).toPandas()
+    )
+    qt = compile_queries(qdf, analyzer="english")
+    got = (
+        bmw_search(compact_auto, qt, k=10, rank_round=digits)
+        .orderBy("qid", "rank").toPandas()
+    )
+    for qid, grp in allscored.groupby("qid"):
+        grp = grp.assign(rs=grp["score"].round(digits)).sort_values(
+            ["rs", "doc_id"], ascending=[False, True]
+        )
+        expect = grp["doc_id"].head(10).tolist()
+        have = got[got["qid"] == qid].sort_values("rank")
+        assert have["doc_id"].tolist() == expect, qid
+        # returned scores stay unrounded (exact)
+        truth = dict(zip(grp["doc_id"], grp["score"]))
+        for d, s in zip(have["doc_id"], have["score"]):
+            assert abs(s - truth[d]) <= 1e-9 * max(1.0, abs(truth[d]))
+
+
+def test_rank_round_rejects_termwise_layout(spark, compact):
+    qdf = spark.createDataFrame(QUERIES[:1], "qid string, qtext string")
+    qt = compile_queries(qdf, analyzer="english")
+    with pytest.raises(ValueError, match="segmented"):
+        bmw_search(compact, qt, k=10, rank_round=4)
+
+
+def test_fused_stem_memo_is_capped(monkeypatch):
+    """Worker-level memo must evict rather than grow without bound at
+    web-scale type counts (VERDICT r3 next-#5)."""
+    import pandas as pd
+
+    from lucene_msmarco_spark.operators import index as ix
+
+    monkeypatch.setattr(ix, "_FUSED_STEM_MEMO_MAX", 8)
+    monkeypatch.setattr(ix, "_FUSED_STEM_MEMO", {})
+    batch = pd.DataFrame({
+        "doc_id": list(range(30)),
+        "raw": [f"zzcapword{i}ing" for i in range(30)],
+        "tf_raw": [1] * 30,
+    })
+    out = list(ix._fused_finish(iter([batch])))
+    assert len(ix._FUSED_STEM_MEMO) <= 8
+    assert out[0].shape[0] == 30  # eviction never drops output rows
+
+
+def test_bmw_chunked_query_bag_equals_unchunked(spark, idx, compact_auto):
+    """max_batch_queries chunking is exact: per-qid results are
+    independent, so a 5-query bag scored in 2-query chunks must equal
+    the single-batch run row-for-row."""
+    qdf = spark.createDataFrame(QUERIES, "qid string, qtext string")
+    qt = compile_queries(qdf, analyzer="english")
+    a = bmw_search(compact_auto, qt, k=10).orderBy("qid", "rank").collect()
+    b = bmw_search(
+        compact_auto, qt, k=10, max_batch_queries=2
+    ).orderBy("qid", "rank").collect()
     _runs_equal(a, b)
