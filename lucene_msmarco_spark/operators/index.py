@@ -343,14 +343,13 @@ _FUSED_STEM_MEMO: dict = {}
 _FUSED_STEM_MEMO_MAX = 2_000_000
 
 
-def _fused_finish(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-    """Per-partition finisher for the fused english build: consumes the
-    JVM-aggregated (doc_id, raw, tf_raw) stream of ONE partition (all
-    batches), then in vectorized pandas: memoized Porter-stem the raw
-    types (stopwords -> dropped), merge stem collisions with a
-    groupby(doc_id, term).sum, and attach doclen = groupby(doc_id)
-    transform-sum. REQUIRES the partition to hold complete documents
-    (guaranteed by hash(doc_id) clustering — see _english_index_parts).
+def _fused_aggregate(df: "pd.DataFrame"):
+    """Shared core of the fused finishers: one partition's JVM-aggregated
+    (doc_id, raw, tf_raw) frame -> (tf, doclen, terms) where ``tf`` has
+    integer term codes (columns doc_id, tc, tf), ``doclen`` is the
+    per-row transform-sum, and ``terms`` decodes tc -> term string.
+    Returns None when everything was stopwords. See _fused_finish for
+    the semantics and sizing notes.
 
     Sizing requirement: the whole partition's aggregated (doc_id, raw,
     tf_raw) stream is buffered as ONE pandas frame, so per-task memory
@@ -371,10 +370,6 @@ def _fused_finish(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]"
 
     stops = stopwords()
     memo = _FUSED_STEM_MEMO
-    frames = list(batches)
-    if not frames:
-        return
-    df = pd.concat(frames, ignore_index=True)
     # Stem at the TYPE level, then do all row-level work on integer
     # codes: object-dtype string groupbys are the memory-bandwidth hog
     # of this finisher (every probe chases a PyObject pointer), while
@@ -404,13 +399,36 @@ def _fused_finish(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]"
     term_codes = type_to_term[raw_codes]
     keep = term_codes >= 0
     if not keep.any():
-        return
+        return None
     doc_ids = df["doc_id"].to_numpy()[keep]
     tf_raw = df["tf_raw"].to_numpy()[keep]
     key = pd.DataFrame({"doc_id": doc_ids, "tc": term_codes[keep],
                         "tf": tf_raw})
     tf = key.groupby(["doc_id", "tc"], sort=False, as_index=False)["tf"].sum()
     doclen = tf.groupby("doc_id", sort=False)["tf"].transform("sum")
+    return tf, doclen, terms
+
+
+def _fused_finish(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    """Per-partition finisher for the fused english build: consumes the
+    JVM-aggregated (doc_id, raw, tf_raw) stream of ONE partition (all
+    batches), then in vectorized pandas (_fused_aggregate): memoized
+    Porter-stem the raw types (stopwords -> dropped), merge stem
+    collisions with a groupby(doc_id, term).sum, and attach doclen =
+    groupby(doc_id) transform-sum. REQUIRES the partition to hold
+    complete documents (guaranteed by hash(doc_id) clustering — see
+    _english_index_parts); sizing notes in _fused_aggregate.
+    """
+    import numpy as np
+
+    frames = list(batches)
+    if not frames:
+        return
+    df = pd.concat(frames, ignore_index=True)
+    res = _fused_aggregate(df)
+    if res is None:
+        return
+    tf, doclen, terms = res
     term_arr = np.asarray(terms, dtype=object)
     yield pd.DataFrame(
         {

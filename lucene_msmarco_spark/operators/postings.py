@@ -448,6 +448,99 @@ def postings_to_tokens(postings: DataFrame) -> DataFrame:
     )
 
 
+def _fused_blob_finish(block_size: int):
+    """Per-partition finisher that goes straight from the JVM-aggregated
+    (doc_id, raw, tf_raw, segment) stream to ENCODED blob rows: the
+    fused stem/merge/doclen core (index._fused_aggregate) feeds
+    _encode_tokens_frame in the same task, so the row-level tokens table
+    is never materialized at all."""
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .index import _fused_aggregate
+
+        frames = list(batches)
+        if not frames:
+            return
+        df = pd.concat(frames, ignore_index=True)
+        if df.shape[0] == 0:
+            return
+        seg = int(df["segment"].iloc[0])
+        res = _fused_aggregate(df)
+        if res is None:
+            return
+        tf, doclen, terms = res
+        term_arr = np.asarray(terms, dtype=object)
+        pdf = pd.DataFrame({
+            "term": pd.Series(term_arr[tf["tc"].to_numpy()], dtype=object),
+            "doc_id": tf["doc_id"].astype("int64"),
+            "tf": tf["tf"].astype("int64"),
+            "doclen": doclen.astype("int64"),
+        })
+        yield _encode_tokens_frame(seg, pdf, block_size)
+
+    return go
+
+
+def build_compact_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    fold_numbers: bool = True,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    cache: bool = True,
+    with_gdf: bool = True,
+) -> CompactIndex:
+    """ONE-PASS build of the shippable compressed index: doc store ->
+    JVM tokenize + (doc_id, raw) aggregation -> fused stem/merge/doclen/
+    ENCODE finisher -> doc-disjoint segmented blob rows. The row-level
+    tokens table — the largest intermediate there is at 10^12 turns —
+    is never materialized, cached, or shuffled: each hash(doc_id)-
+    clustered partition becomes one segment whose blobs are encoded in
+    the same task that stems it (the "emit blobs from the finisher"
+    form of VERDICT r3 next-#1; reference analog: Lucene's IndexWriter
+    goes straight from analyzer output to segment files,
+    ``indexing/MsMarcoIndexer.java:54-59``).
+
+    Plan shape: zero exchanges above the doc-store scan for the whole
+    tokenize->stem->encode pipeline (tests/test_plans.py); the only
+    shuffles in the entire build are the doc-store write inside
+    assign_doc_ids and the gdf window over the blob-level rows.
+
+    Use build_index + CompactIndex.from_index instead when the
+    row-level tokens table is itself wanted (feedback models, exhaustive
+    scoring, rehydration) — this function is the serving-index fast
+    path.
+    """
+    from .index import GlobalStats, _n_docs_of, raw_token_counts
+
+    clustered = getattr(docs, "_lms_clustered_by", None) == "doc_id"
+    base = docs if clustered else docs.repartition("doc_id")
+    raw_tf = raw_token_counts(base, text_col, fold_numbers).withColumn(
+        "segment", F.spark_partition_id().cast("int")
+    )
+    partials = raw_tf.mapInPandas(
+        _fused_blob_finish(block_size),
+        schema="segment int, " + POSTINGS_SCHEMA,
+    )
+    postings = partials
+    if with_gdf:
+        postings = postings.withColumn(
+            "gdf", F.sum("df").over(Window.partitionBy("term"))
+        )
+    if cache:
+        postings = postings.persist()
+    # one action materializes the blob cache AND yields the cf scalar
+    total_cf = int(
+        postings.agg(F.sum("cf").alias("cf")).collect()[0]["cf"] or 0
+    )
+    n_docs = _n_docs_of(docs)
+    stats = GlobalStats(
+        n_docs=n_docs,
+        avgdl=(total_cf / n_docs) if n_docs else 0.0,
+        total_cf=total_cf,
+    )
+    return CompactIndex(postings=postings, stats=stats, analyzer="english")
+
+
 # ---------------------------------------------------------------------------
 # compact index facade
 # ---------------------------------------------------------------------------
@@ -711,6 +804,7 @@ def bmw_search(
     cfg: BM25Config = BM25Config(),
     rank_round: int | None = None,
     max_batch_queries: int = 65_536,
+    score_block_rows: int = 4_000_000,
 ) -> DataFrame:
     """BM25 top-k via Block-Max WAND over the compressed postings.
 
@@ -754,6 +848,13 @@ def bmw_search(
     unioned (results are per-qid, so chunking is trivially exact). The
     default keeps a 3-term-average chunk's broadcast in the tens of MB
     and is measured safe at 131k queries (BENCH/BASELINE.md).
+
+    ``score_block_rows``: segmented path — caps each segment task's
+    (term x query) posting expansion by scoring query sub-blocks of at
+    most ~this many expanded rows (a query's pairs never split, results
+    bit-identical at any value). This is the per-TASK memory bound
+    (~24 bytes/row of peak intermediates); max_batch_queries is the
+    per-DRIVER bound.
     """
     if rank_round is not None and not compact.segmented:
         raise ValueError(
@@ -813,6 +914,7 @@ def bmw_search(
                 outs.append(bmw_search(
                     compact, sub, k=k, cfg=cfg, rank_round=rank_round,
                     max_batch_queries=max_batch_queries,
+                    score_block_rows=score_block_rows,
                 ))
             out = outs[0]
             for nxt in outs[1:]:
@@ -893,56 +995,85 @@ def bmw_search(
             pair_t = np.asarray(pair_t, dtype=np.int64)
             pair_qi = np.asarray(pair_qi, dtype=np.int64)
             pair_qw = np.asarray(pair_qw, dtype=np.float64)
-            lens = cnts[pair_t]
-            total = int(lens.sum())
-            out_off = np.cumsum(lens) - lens
-            idx = (
-                np.arange(total, dtype=np.int64)
-                - np.repeat(out_off, lens)
-                + np.repeat(starts[pair_t], lens)
+            # Score in query SUB-BLOCKS bounded by expansion size: the
+            # (term x query) posting expansion below is this task's peak
+            # memory and it grows linearly with the query batch — at
+            # 65k queries x head-term postings it was measured in the GBs
+            # per task. Queries are independent, so blocking BY QUERY
+            # (pairs sorted by qi, a query's pairs never split) keeps
+            # every intermediate capped at ~score_block_rows with
+            # bit-identical results at any block size.
+            order_p = np.argsort(pair_qi, kind="stable")
+            pair_t, pair_qi, pair_qw = (
+                pair_t[order_p], pair_qi[order_p], pair_qw[order_p]
             )
-            d_r = docs_all[idx]
-            s_r = contrib_all[idx] * np.repeat(pair_qw, lens)
-            q_r = np.repeat(pair_qi, lens)
-            order = np.lexsort((d_r, q_r))
-            d_r, s_r, q_r = d_r[order], s_r[order], q_r[order]
-            grp = np.flatnonzero(np.concatenate((
-                [True], (q_r[1:] != q_r[:-1]) | (d_r[1:] != d_r[:-1])
-            )))
-            uniq_d = d_r[grp]
-            uniq_q = q_r[grp]
-            sums = np.add.reduceat(s_r, grp)
-            # per-query exact (score desc, doc asc) top-k, still batched:
-            # rank within query via a second lexsort + cumcount mask
-            # (rank_round: same selection under the rounded total order)
-            rank_s = sums if rank_round is None else np.round(
-                sums, rank_round
-            )
-            order2 = np.lexsort((uniq_d, -rank_s, uniq_q))
-            uniq_d, uniq_q, sums = (
-                uniq_d[order2], uniq_q[order2], sums[order2]
-            )
-            qstarts = np.flatnonzero(np.concatenate(
-                ([True], uniq_q[1:] != uniq_q[:-1])
-            ))
-            pos = (
-                np.arange(uniq_q.size, dtype=np.int64)
-                - np.repeat(qstarts, np.diff(
-                    np.concatenate((qstarts, [uniq_q.size]))
+            lens_all = cnts[pair_t]
+            cum = np.cumsum(lens_all)
+            out_frames = []
+            lo, n_pairs = 0, int(pair_t.size)
+            while lo < n_pairs:
+                base = int(cum[lo - 1]) if lo else 0
+                hi = int(np.searchsorted(
+                    cum, base + score_block_rows, side="right"
                 ))
-            )
-            m = pos < k
-            uniq_d, uniq_q, sums = uniq_d[m], uniq_q[m], sums[m]
-            # ONE array-valued row per (query, segment): the merge then
-            # moves n_queries x n_segments rows, not k x that many
-            qstarts2 = np.flatnonzero(np.concatenate(
-                ([True], uniq_q[1:] != uniq_q[:-1])
-            ))
-            return pd.DataFrame({
-                "qi": uniq_q[qstarts2],
-                "docs": np.split(uniq_d, qstarts2[1:]),
-                "scores": np.split(sums, qstarts2[1:]),
-            })
+                hi = min(max(hi, lo + 1), n_pairs)
+                while hi < n_pairs and pair_qi[hi] == pair_qi[hi - 1]:
+                    hi += 1
+                b_t = pair_t[lo:hi]
+                b_qi = pair_qi[lo:hi]
+                b_qw = pair_qw[lo:hi]
+                lens = lens_all[lo:hi]
+                lo = hi
+                total = int(lens.sum())
+                out_off = np.cumsum(lens) - lens
+                idx = (
+                    np.arange(total, dtype=np.int64)
+                    - np.repeat(out_off, lens)
+                    + np.repeat(starts[b_t], lens)
+                )
+                d_r = docs_all[idx]
+                s_r = contrib_all[idx] * np.repeat(b_qw, lens)
+                q_r = np.repeat(b_qi, lens)
+                order = np.lexsort((d_r, q_r))
+                d_r, s_r, q_r = d_r[order], s_r[order], q_r[order]
+                grp = np.flatnonzero(np.concatenate((
+                    [True], (q_r[1:] != q_r[:-1]) | (d_r[1:] != d_r[:-1])
+                )))
+                uniq_d = d_r[grp]
+                uniq_q = q_r[grp]
+                sums = np.add.reduceat(s_r, grp)
+                # per-query exact (score desc, doc asc) top-k, batched:
+                # rank within query via a second lexsort + cumcount mask
+                # (rank_round: same selection under the rounded order)
+                rank_s = sums if rank_round is None else np.round(
+                    sums, rank_round
+                )
+                order2 = np.lexsort((uniq_d, -rank_s, uniq_q))
+                uniq_d, uniq_q, sums = (
+                    uniq_d[order2], uniq_q[order2], sums[order2]
+                )
+                qstarts = np.flatnonzero(np.concatenate(
+                    ([True], uniq_q[1:] != uniq_q[:-1])
+                ))
+                pos = (
+                    np.arange(uniq_q.size, dtype=np.int64)
+                    - np.repeat(qstarts, np.diff(
+                        np.concatenate((qstarts, [uniq_q.size]))
+                    ))
+                )
+                m = pos < k
+                uniq_d, uniq_q, sums = uniq_d[m], uniq_q[m], sums[m]
+                # ONE array-valued row per (query, segment): the merge
+                # then moves n_queries x n_segments rows, not k x that
+                qstarts2 = np.flatnonzero(np.concatenate(
+                    ([True], uniq_q[1:] != uniq_q[:-1])
+                ))
+                out_frames.append(pd.DataFrame({
+                    "qi": uniq_q[qstarts2],
+                    "docs": np.split(uniq_d, qstarts2[1:]),
+                    "scores": np.split(sums, qstarts2[1:]),
+                }))
+            return pd.concat(out_frames, ignore_index=True)
 
         local = matched.groupBy("segment").applyInPandas(
             run_segment,

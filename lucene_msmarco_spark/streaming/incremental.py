@@ -432,8 +432,8 @@ class SegmentedIndexWriter:
         commit leaves an orphan dir that the retry overwrites."""
         from ..operators.index import assign_doc_ids, build_index
         from ..operators.postings import (
+            build_compact_index,
             derive_n_segments,
-            encode_postings_partition_local,
             encode_postings_segmented,
         )
 
@@ -448,22 +448,25 @@ class SegmentedIndexWriter:
         cfg = self.config
         docs = assign_doc_ids(batch_df, list(self.keys),
                               base=st["doc_base"])
-        idx = build_index(docs, analyzer=cfg.analyzer,
-                          fold_numbers=cfg.fold_numbers, cache=False)
-        if getattr(idx.tokens, "_lms_doc_complete_partitions", False):
-            seg = encode_postings_partition_local(
-                idx.tokens, cfg.block_size, with_gdf=False
+        if cfg.analyzer == "english":
+            # one-pass fused build: stem+merge+doclen+encode in one
+            # finisher; the batch's row-level tokens never materialize
+            compact = build_compact_index(
+                docs, fold_numbers=cfg.fold_numbers,
+                block_size=cfg.block_size, cache=False, with_gdf=False,
             )
+            seg, stats = compact.postings, compact.stats
         else:
+            idx = build_index(docs, analyzer=cfg.analyzer,
+                              fold_numbers=cfg.fold_numbers, cache=False)
             seg = encode_postings_segmented(
                 idx.tokens, cfg.block_size,
                 derive_n_segments(idx.stats.n_docs),
                 n_docs=idx.stats.n_docs, with_gdf=False,
             )
+            stats = idx.stats
         # NOTE: batch-local segment ids are offset into the writer's
-        # global segment-id space; the doc-range formula inside
-        # encode_postings_segmented uses batch-LOCAL doc ids relative to
-        # doc_base, so shift docs' segment mapping only via the id base
+        # global segment-id space so no two generations collide
         gen = st["next_gen"]
         seg = seg.withColumn(
             "segment",
@@ -478,8 +481,8 @@ class SegmentedIndexWriter:
             "op": "append",
             "gen": gen,
             "batch": fp,
-            "n_docs": int(idx.stats.n_docs),
-            "total_cf": int(idx.stats.total_cf),
+            "n_docs": int(stats.n_docs),
+            "total_cf": int(stats.total_cf),
             "doc_base": int(st["doc_base"]),
             "seg_base": int(st["seg_base"]),
             "seg_span": int(
@@ -489,7 +492,6 @@ class SegmentedIndexWriter:
             "completed_at": time.time(),
         }
         self._commit(entry)
-        idx.unpersist()
         docs.unpersist()
         return entry
 

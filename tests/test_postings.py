@@ -530,3 +530,59 @@ def test_bmw_chunked_query_bag_equals_unchunked(spark, idx, compact_auto):
         compact_auto, qt, k=10, max_batch_queries=2
     ).orderBy("qid", "rank").collect()
     _runs_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# one-pass build: docs -> encoded blobs, no tokens table
+# ---------------------------------------------------------------------------
+
+def test_build_compact_index_equals_two_pass(spark, idx, tokens_pd):
+    """build_compact_index (fused stem+encode in one finisher, tokens
+    never materialized) must produce the same stats, the same decoded
+    postings, and the same BMW runs as build_index + from_index."""
+    from lucene_msmarco_spark.operators.postings import build_compact_index
+
+    one = build_compact_index(idx.docs, block_size=16)
+    assert one.segmented
+    assert one.stats == idx.stats
+    back = (
+        postings_to_tokens(one.postings).toPandas()
+        .sort_values(["term", "doc_id"]).reset_index(drop=True)
+    )
+    assert (back["term"].values == tokens_pd["term"].values).all()
+    assert (back["doc_id"].values == tokens_pd["doc_id"].values).all()
+    assert (back["tf"].values == tokens_pd["tf"].values).all()
+    assert (back["doclen"].values == tokens_pd["doclen"].values).all()
+    qdf = spark.createDataFrame(QUERIES, "qid string, qtext string")
+    exact = search(idx, qdf, model="bm25", k=10).orderBy(
+        "qid", "rank").collect()
+    qt = compile_queries(qdf, analyzer="english")
+    bmw = bmw_search(one, qt, k=10).orderBy("qid", "rank").collect()
+    _runs_equal(exact, bmw)
+    one.postings.unpersist()
+
+
+def test_build_compact_index_plan_is_exchange_free(idx):
+    """The one-pass build's scale contract: tokenize -> stem -> ENCODE
+    plans with zero exchanges above the doc-store scan; the only
+    exchange anywhere above it is the gdf window over blob rows."""
+    from lucene_msmarco_spark.operators.postings import build_compact_index
+
+    one = build_compact_index(idx.docs, block_size=16, cache=False)
+    plan = one.postings._jdf.queryExecution().executedPlan().toString()
+    above = plan.split("InMemoryTableScan", 1)[0]
+    assert above.count("Exchange") == 1, above
+    assert "MapInPandas" in above, above
+
+
+def test_bmw_score_block_rows_equals_unblocked(spark, idx, compact_auto):
+    """score_block_rows sub-blocking inside the segment task is
+    bit-identical at any block size — a 1-row budget forces one block
+    per query pair run and must reproduce the unbounded run exactly."""
+    qdf = spark.createDataFrame(QUERIES, "qid string, qtext string")
+    qt = compile_queries(qdf, analyzer="english")
+    a = bmw_search(compact_auto, qt, k=10).orderBy("qid", "rank").collect()
+    b = bmw_search(
+        compact_auto, qt, k=10, score_block_rows=1
+    ).orderBy("qid", "rank").collect()
+    _runs_equal(a, b, score_tol=0.0)
