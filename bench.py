@@ -187,6 +187,36 @@ def _bench_engine(spark, input_path: str, n_queries: int,
         "queries_per_sec": round(n_queries / query_sec, 1),
     }
 
+    if with_bmw or os.environ.get("LMS_SCALING_COMPACT"):
+        # One-pass docs -> compressed artifact (fused stem+encode, the
+        # tokens table never materialized): the full build-to-shippable-
+        # index number. In default mode both reps are recorded and the
+        # min taken; under the scaling protocol (LMS_SCALING_COMPACT=1,
+        # with_bmw=False) the same warm/timed discipline as index_build
+        # applies so the N-vs-4N ratio is steady-state at both levels.
+        from lucene_msmarco_spark.operators.postings import (
+            build_compact_index,
+        )
+
+        cb_warm = warm_reps if not with_bmw else 0
+        cb_total = (cb_warm + timed_reps) if not with_bmw else 2
+        cb_reps: list[float] = []
+        c1 = None
+        for rep in range(cb_total):
+            if c1 is not None:
+                c1.postings.unpersist()
+            t0 = time.time()
+            c1 = build_compact_index(docs)
+            dt = round(time.time() - t0, 3)
+            if rep >= cb_warm:
+                cb_reps.append(dt)
+        timings["compact_build"] = min(cb_reps)
+        timings["compact_build_reps"] = cb_reps
+        out["compact_build_turns_per_sec"] = round(
+            n_turns / min(cb_reps), 1
+        )
+        c1.postings.unpersist()
+
     if with_bmw:
         # Segmented batch Block-Max scoring over the compressed postings
         # vs the exhaustive window path, same query subset, in BOTH
@@ -202,28 +232,6 @@ def _bench_engine(spark, input_path: str, n_queries: int,
             bmw_search,
         )
         from lucene_msmarco_spark.operators.retrieval import compile_queries
-
-        from lucene_msmarco_spark.operators.postings import (
-            build_compact_index,
-        )
-
-        # one-pass docs -> compressed artifact (fused stem+encode, the
-        # tokens table never materialized): the full build-to-shippable-
-        # index number, same warm discipline as index_build
-        cb_reps: list[float] = []
-        c1 = None
-        for rep in range(2):
-            if c1 is not None:
-                c1.postings.unpersist()
-            t0 = time.time()
-            c1 = build_compact_index(docs)
-            cb_reps.append(round(time.time() - t0, 3))
-        timings["compact_build"] = min(cb_reps)
-        timings["compact_build_reps"] = cb_reps
-        out["compact_build_turns_per_sec"] = round(
-            n_turns / min(cb_reps), 1
-        )
-        c1.postings.unpersist()
 
         n_sub = min(1024, n_queries)
         qsub = spark.createDataFrame(
@@ -507,6 +515,11 @@ def scaling() -> None:
         r_b["throughput"]["queries_per_sec"]
         / r_s["throughput"]["queries_per_sec"] / factor
     )
+    # context metric (not part of the gate): the one-pass fused
+    # docs->compressed-artifact build, when LMS_SCALING_COMPACT=1
+    cb_s = r_s["throughput"].get("compact_build_turns_per_sec")
+    cb_b = r_b["throughput"].get("compact_build_turns_per_sec")
+    eff_cb = (cb_b / cb_s / factor) if cb_s and cb_b else None
     host_eff = calib["host_cpu_efficiency"]
     host_bw_eff = calib_bw["host_cpu_efficiency"]
     # engine efficiency: raw thread-scaling divided by what the HOST
@@ -545,7 +558,12 @@ def scaling() -> None:
             f"- raw scaling efficiency (index build, "
             f"(rate_big/rate_small)/{factor:.0f}): **{eff_idx:.3f}**\n"
             f"- raw scaling efficiency (batch query): **{eff_q:.3f}**\n"
-            f"- host compute ceiling "
+            + (
+                f"- raw scaling efficiency (one-pass compact build, "
+                f"context metric: {cb_s} -> {cb_b} turns/s): "
+                f"**{eff_cb:.3f}**\n" if eff_cb is not None else ""
+            )
+            + f"- host compute ceiling "
             f"{SCALING_SMALL}->{SCALING_BIG}-way (pure-Python md5, "
             f"no Spark; per-task {calib['per_task_sec']}): "
             f"**{host_eff:.3f}** before, "
@@ -583,6 +601,8 @@ def scaling() -> None:
         "normalized_query_efficiency": round(eng_q, 3),
         "raw_index_efficiency": round(eff_idx, 3),
         "raw_query_efficiency": round(eff_q, 3),
+        **({"raw_compact_efficiency": round(eff_cb, 3)}
+           if eff_cb is not None else {}),
         "host_cpu_efficiency": host_eff,
         "host_membw_efficiency": host_bw_eff,
         "host_cpu_efficiency_after": calib_after["host_cpu_efficiency"],
