@@ -517,13 +517,12 @@ class SegmentedIndexWriter:
         paths = [self._gen_dir(g) for g in gens]
         old = self.spark.read.parquet(*paths)
         tokens = postings_to_tokens(old)
-        merged_docs = sum(live[g]["n_docs"] for g in gens
-                          if live[g]["op"] == "append")
-        # compacted gens may themselves be compactions; recover doc count
-        # from their recorded n_docs either way
-        merged_docs = merged_docs or sum(
-            live[g].get("n_docs", 0) for g in gens
-        )
+        # every live entry (append OR prior compaction) records the doc
+        # count it covers, and live generations are disjoint in doc
+        # space, so the merged count is the plain sum — summing only the
+        # appends would under-count a mixed merge of appends with an
+        # earlier compaction and under-size derive_n_segments
+        merged_docs = sum(live[g].get("n_docs", 0) for g in gens)
         # re-segment over the merged doc-id RANGE: ids are dense within
         # the union of the merged appends only if the merge covers a
         # contiguous generation prefix; the doc-range formula needs just

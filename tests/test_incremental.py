@@ -323,3 +323,25 @@ def test_segmented_writer_kill_resume_idempotent(spark, tmp_path,
     assert len(appends) == 2
     full = _full_rebuild(spark, pdf)
     _assert_same_run(_bmw_run(spark, w.load()), _bmw_run(spark, full))
+
+
+def test_segmented_writer_mixed_compaction_counts_docs(spark, tmp_path):
+    """Merging a prior compaction WITH a later append must record the
+    full merged doc count (regression: summing only the append entries
+    under-counted mixed merges, under-sizing derive_n_segments), and
+    results stay identical to the full rebuild."""
+    w, pdf, batches = _writer_fixture(spark, tmp_path, n_batches=3)
+    e0 = w.append(spark.createDataFrame(batches[0]))
+    e1 = w.append(spark.createDataFrame(batches[1]))
+    c1 = w.compact([e0["gen"], e1["gen"]])
+    assert c1["n_docs"] == len(batches[0]) + len(batches[1])
+    e2 = w.append(spark.createDataFrame(batches[2]))
+    c2 = w.compact()  # merges the prior compaction with the new append
+    assert sorted(c2["replaces"]) == sorted([c1["gen"], e2["gen"]])
+    assert c2["n_docs"] == len(pdf)
+    assert c2["total_cf"] == e0["total_cf"] + e1["total_cf"] + e2["total_cf"]
+    st = w.state()
+    assert [e["gen"] for e in st["live"]] == [c2["gen"]]
+    assert st["n_docs"] == len(pdf)
+    full = _full_rebuild(spark, pdf)
+    _assert_same_run(_bmw_run(spark, w.load()), _bmw_run(spark, full))
