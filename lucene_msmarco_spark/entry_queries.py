@@ -23,6 +23,9 @@ Operator coverage (SURVEY.md §2 IDs in parens):
   dedup_exact_prefix, dedup_minhash_lsh (b×r banded),
   dedup_ngram_jaccard (df-capped), dedup_simhash, ann_cosine_topk,
   ann_lsh_topk, token_stats, events_hourly, events_sessionize.
+  ``bmw_topk`` (compressed Block-Max path) and ``incremental_topk``
+  (SegmentedIndexWriter append+compact+load lifecycle, S14) both run
+  against the ``bm25_topk`` oracle — same rows, different engines.
 """
 
 from __future__ import annotations
@@ -787,9 +790,70 @@ def _bmw_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-writer contract: index the documents table through
+    ``streaming.SegmentedIndexWriter`` — three doc_id-ordered appends
+    with a compaction folded between them (so the live index mixes a
+    compacted generation with a fresh append) — then answer the QUERYSET
+    with the segmented Block-Max path over ``writer.load()``.
+
+    ``keys=("doc_id",)`` plus contiguous doc_id-range batches appended
+    in order make the writer's dense base-offset id assignment reproduce
+    the table's own ids, so the result must equal the ``bm25_topk``
+    oracle rows exactly (same ``rank_round=4`` total order). This gives
+    the IndexWriter lifecycle (reference ``indexing/MsMarcoIndexer.java:
+    49-59``) a value-level oracle, not just the pytest equality suite.
+
+    The 70-row result is materialized before the scratch index dir is
+    deleted (the loaded CompactIndex reads those parquet files lazily).
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .operators.postings import bmw_search
+    from .operators.retrieval import compile_queries
+    from .streaming.incremental import BuildConfig, SegmentedIndexWriter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n = docs.count()
+    cut1, cut2 = n // 3, (2 * n) // 3
+    tmp = tempfile.mkdtemp(prefix="lms_incr_contract_")
+    try:
+        w = SegmentedIndexWriter(
+            spark, tmp, config=BuildConfig(analyzer="simple"),
+            keys=("doc_id",),
+        )
+        w.append(docs.filter(F.col("doc_id") < cut1))
+        w.append(
+            docs.filter(
+                (F.col("doc_id") >= cut1) & (F.col("doc_id") < cut2)
+            )
+        )
+        w.compact()
+        w.append(docs.filter(F.col("doc_id") >= cut2))
+        compact = w.load()
+        qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
+        qt = compile_queries(qdf, "simple")
+        run = bmw_search(compact, qt, k=10, rank_round=4).select(
+            "qid", "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("score", 4).alias("score"),
+        )
+        rows = run.collect()
+        return spark.createDataFrame(rows, run.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def make_spark_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
     if name == "bmw_topk":
         return _bmw_topk_query
+    if name == "incremental_topk":
+        return _incremental_topk_query
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _register_views(spark, sf_dir)
@@ -802,6 +866,7 @@ def make_spark_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {n: make_spark_query(n) for n in QUERY_NAMES}
     out["bmw_topk"] = _bmw_topk_query
+    out["incremental_topk"] = _incremental_topk_query
     return out
 
 
@@ -809,4 +874,6 @@ def duckdb_oracles() -> dict[str, str]:
     out = {n: build_sql(n, "duckdb") for n in QUERY_NAMES}
     # the compressed Block-Max path must equal the exhaustive BM25 oracle
     out["bmw_topk"] = build_sql("bm25_topk", "duckdb")
+    # the incremental append+compact+load lifecycle must too
+    out["incremental_topk"] = build_sql("bm25_topk", "duckdb")
     return out
