@@ -228,6 +228,7 @@ def encode_postings_segmented(
     n_segments: int = DEFAULT_N_SEGMENTS,
     n_docs: int | None = None,
     with_gdf: bool = True,
+    doc_base: int = 0,
 ) -> DataFrame:
     """tokens(term, doc_id, tf, doclen) -> doc-range-segmented postings.
 
@@ -244,6 +245,14 @@ def encode_postings_segmented(
     ``n_docs``: pass ``GlobalStats.n_docs`` (doc ids are dense 0-based)
     to skip the fallback max(doc_id) pass over the tokens table.
 
+    ``doc_base``: first id of the range being encoded. An incremental
+    append allocates its batch a disjoint base-offset id range
+    (streaming.SegmentedIndexWriter); segmenting by ABSOLUTE id with
+    ``n_docs`` = batch size would clamp every row of a non-first batch
+    into the last segment (one giant task — the exact shape the
+    docs-per-segment bound exists to prevent), so the range is cut as
+    ``(doc_id - doc_base) / n_docs``.
+
     One shuffle total: tokens group ONCE by segment; each segment task
     encodes all of its terms' blobs with a pandas groupby (task memory =
     one segment's tokens — the same docs-per-segment bound the query
@@ -253,13 +262,19 @@ def encode_postings_segmented(
     """
     if n_docs is None:
         max_doc = tokens.agg(F.max("doc_id")).collect()[0][0]
-        n_docs = 0 if max_doc is None else int(max_doc) + 1
-    seg = F.least(
-        F.floor(
-            F.col("doc_id") * F.lit(int(n_segments))
-            / F.lit(max(int(n_docs), 1))
+        n_docs = (
+            0 if max_doc is None else int(max_doc) + 1 - int(doc_base)
+        )
+    seg = F.greatest(
+        F.least(
+            F.floor(
+                (F.col("doc_id") - F.lit(int(doc_base)))
+                * F.lit(int(n_segments))
+                / F.lit(max(int(n_docs), 1))
+            ),
+            F.lit(int(n_segments) - 1),
         ),
-        F.lit(int(n_segments) - 1),
+        F.lit(0),
     ).cast("int")
     seeded = tokens.withColumn("segment", seg)
     names = _SEGMENT_ROW_NAMES
@@ -280,6 +295,17 @@ def encode_postings_segmented(
 _SEGMENT_ROW_NAMES = [
     c.split(" ")[0] for c in ("segment int, " + POSTINGS_SCHEMA).split(", ")
 ]
+
+
+def _round_half_away(x: np.ndarray, decimals: int) -> np.ndarray:
+    """Round half away from zero — the rule Spark's ``F.round``
+    (HALF_UP) and DuckDB's ``round()`` both apply. ``np.round`` is
+    half-EVEN, so a score landing exactly on a .5 boundary at the
+    rounding precision would be selected/ranked differently by
+    ``rank_round`` than by the SQL oracle the contract queries compare
+    against."""
+    f = 10.0 ** decimals
+    return np.copysign(np.floor(np.abs(x) * f + 0.5), x) / f
 
 
 def _encode_tokens_frame(
@@ -1045,7 +1071,7 @@ def bmw_search(
                 # per-query exact (score desc, doc asc) top-k, batched:
                 # rank within query via a second lexsort + cumcount mask
                 # (rank_round: same selection under the rounded order)
-                rank_s = sums if rank_round is None else np.round(
+                rank_s = sums if rank_round is None else _round_half_away(
                     sums, rank_round
                 )
                 order2 = np.lexsort((uniq_d, -rank_s, uniq_q))
@@ -1085,7 +1111,9 @@ def bmw_search(
             # are disjoint: the global top-k is a pure selection
             d = np.concatenate(pdf["docs"].to_numpy())
             s = np.concatenate(pdf["scores"].to_numpy())
-            rank_s = s if rank_round is None else np.round(s, rank_round)
+            rank_s = (
+                s if rank_round is None else _round_half_away(s, rank_round)
+            )
             sel = np.lexsort((d, -rank_s))[:k]
             d, s = d[sel], s[sel]
             return pd.DataFrame({

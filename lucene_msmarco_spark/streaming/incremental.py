@@ -81,6 +81,9 @@ class BuildConfig:
     block_size: int = 128
     salt_df_threshold: int = 250_000
     n_salts: int = 32
+    #: target docs per compact-index segment (postings.derive_n_segments);
+    #: lower it in tests to exercise multi-segment layouts at toy scale
+    docs_per_segment: int = 262_144
 
     def hash(self) -> str:
         return _sha(self.__dict__)
@@ -372,9 +375,18 @@ class SegmentedIndexWriter:
         out = []
         if os.path.exists(self.manifest_path):
             with open(self.manifest_path) as f:
-                for line in f:
-                    if line.strip():
-                        out.append(json.loads(line))
+                lines = [ln for ln in f if ln.strip()]
+            for i, line in enumerate(lines):
+                try:
+                    out.append(json.loads(line))
+                except json.JSONDecodeError:
+                    if i == len(lines) - 1:
+                        # a kill (or ENOSPC) mid-_commit leaves a torn
+                        # FINAL line: that op never committed, so drop
+                        # it — the retry re-appends idempotently. A torn
+                        # interior line is real corruption: surface it.
+                        break
+                    raise
         return out
 
     def state(self) -> dict:
@@ -388,13 +400,16 @@ class SegmentedIndexWriter:
                 replaced.add(int(g))
         live = [e for e in entries if e["gen"] not in replaced]
         appends = [e for e in entries if e["op"] == "append"]
+        # doc ids are allocated append-only, so the next free id and the
+        # live doc count are the same sum (compaction never frees ids)
+        appended_docs = sum(e["n_docs"] for e in appends)
         return {
             "next_gen": max((e["gen"] for e in entries), default=-1) + 1,
-            "doc_base": sum(e["n_docs"] for e in appends),
+            "doc_base": appended_docs,
             "seg_base": max(
                 (e["seg_base"] + e["seg_span"] for e in entries), default=0
             ),
-            "n_docs": sum(e["n_docs"] for e in appends),
+            "n_docs": appended_docs,
             "total_cf": sum(e["total_cf"] for e in appends),
             "live": live,
         }
@@ -402,25 +417,71 @@ class SegmentedIndexWriter:
     def _gen_dir(self, gen: int) -> str:
         return os.path.join(self.index_dir, f"seg-{gen:06d}")
 
+    @staticmethod
+    def _entry_bounds(e: dict) -> tuple[int, int] | None:
+        """[lo, hi) doc-id range a live entry covers, from the manifest
+        alone; None for pre-bounds compaction entries (back-compat)."""
+        if "doc_lo" in e:
+            return int(e["doc_lo"]), int(e["doc_hi"])
+        if "doc_base" in e:
+            return int(e["doc_base"]), int(e["doc_base"]) + int(e["n_docs"])
+        return None
+
+    def _repair_manifest(self) -> None:
+        """Truncate a torn final line left by a killed/ENOSPC'd
+        ``_commit`` so the next append starts on a clean line boundary
+        (without this, the new entry would concatenate into the torn
+        text and corrupt BOTH rows). The manifest is one small line per
+        committed op, so reading it whole is cheap."""
+        p = self.manifest_path
+        if not os.path.exists(p):
+            return
+        with open(p, "rb") as f:
+            data = f.read()
+        if not data:
+            return
+        keep = len(data)
+        if not data.endswith(b"\n"):
+            keep = data.rfind(b"\n") + 1
+        else:
+            last = data[:-1].rfind(b"\n") + 1  # start of final line
+            try:
+                json.loads(data[last:])
+            except json.JSONDecodeError:
+                keep = last
+        if keep != len(data):
+            with open(p, "r+b") as f:
+                f.truncate(keep)
+
     def _commit(self, entry: dict) -> None:
         os.makedirs(self.index_dir, exist_ok=True)
+        self._repair_manifest()
         with open(self.manifest_path, "a") as f:
             f.write(json.dumps(entry) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
 
     def _fingerprint(self, batch_df: DataFrame) -> str:
         """Content address of a batch: order-independent xxhash over all
         columns + row count. One cheap aggregate, no driver collect of
         data."""
+        cols = ", ".join(batch_df.columns)
         row = batch_df.agg(
             F.count(F.lit(1)).alias("n"),
-            # bit_xor, not sum: order-independent AND overflow-free
-            # under ANSI mode (xxhash64 spans the full int64 range)
+            # order-independent combine of the per-row hashes. SUM over
+            # decimal(38,0), not bit_xor: xor cancels rows repeated an
+            # even number of times, so two different batches with equal
+            # counts could collide and the second append would be
+            # silently dropped as a duplicate (realistic with
+            # at-least-once transcript feeds). Plain bigint sum is out
+            # too — ANSI mode overflows on full-range xxhash64 values;
+            # decimal(38,0) holds ~10^38, enough for 10^18 rows.
             F.expr(
-                "bit_xor(xxhash64(" + ", ".join(batch_df.columns) + "))"
+                f"sum(cast(xxhash64({cols}) as decimal(38,0)))"
             ).alias("h"),
         ).collect()[0]
-        h = (row["h"] or 0) & 0xFFFFFFFFFFFFFFFF
-        return f"{row['n']}-{h:016x}"
+        h = int(row["h"] or 0) % (1 << 128)
+        return f"{row['n']}-{h:032x}"
 
     # ---- operations ------------------------------------------------------
 
@@ -448,23 +509,36 @@ class SegmentedIndexWriter:
         cfg = self.config
         docs = assign_doc_ids(batch_df, list(self.keys),
                               base=st["doc_base"])
+        release = None
         if cfg.analyzer == "english":
             # one-pass fused build: stem+merge+doclen+encode in one
-            # finisher; the batch's row-level tokens never materialize
+            # finisher; the batch's row-level tokens never materialize.
+            # cache=True: the stats aggregate inside build_compact_index
+            # materializes the blob cache, so the parquet write below
+            # reads it instead of re-running the whole pipeline
             compact = build_compact_index(
                 docs, fold_numbers=cfg.fold_numbers,
-                block_size=cfg.block_size, cache=False, with_gdf=False,
+                block_size=cfg.block_size, cache=True, with_gdf=False,
             )
             seg, stats = compact.postings, compact.stats
+            release = compact.postings
         else:
+            # cache=True for the same reason: stats + encode + write
+            # would otherwise each re-tokenize the batch
             idx = build_index(docs, analyzer=cfg.analyzer,
-                              fold_numbers=cfg.fold_numbers, cache=False)
+                              fold_numbers=cfg.fold_numbers, cache=True)
             seg = encode_postings_segmented(
                 idx.tokens, cfg.block_size,
-                derive_n_segments(idx.stats.n_docs),
+                derive_n_segments(idx.stats.n_docs,
+                                  cfg.docs_per_segment),
                 n_docs=idx.stats.n_docs, with_gdf=False,
+                # batch ids start at the writer's base: segment by the
+                # RELATIVE id, else every non-first append clamps into
+                # its last segment (one giant task)
+                doc_base=st["doc_base"],
             )
             stats = idx.stats
+            release = idx
         # NOTE: batch-local segment ids are offset into the writer's
         # global segment-id space so no two generations collide
         gen = st["next_gen"]
@@ -474,9 +548,7 @@ class SegmentedIndexWriter:
         )
         seg.write.mode("overwrite").parquet(self._gen_dir(gen))
         written = self.spark.read.parquet(self._gen_dir(gen))
-        seg_ids = written.agg(
-            F.min("segment").alias("lo"), F.max("segment").alias("hi")
-        ).collect()[0]
+        hi = written.agg(F.max("segment").alias("hi")).collect()[0]["hi"]
         entry = {
             "op": "append",
             "gen": gen,
@@ -485,13 +557,13 @@ class SegmentedIndexWriter:
             "total_cf": int(stats.total_cf),
             "doc_base": int(st["doc_base"]),
             "seg_base": int(st["seg_base"]),
-            "seg_span": int(
-                (seg_ids["hi"] - st["seg_base"] + 1)
-                if seg_ids["hi"] is not None else 0
-            ),
+            "seg_span": int((hi - st["seg_base"] + 1) if hi is not None
+                            else 0),
             "completed_at": time.time(),
         }
         self._commit(entry)
+        if release is not None:
+            release.unpersist()
         docs.unpersist()
         return entry
 
@@ -523,15 +595,26 @@ class SegmentedIndexWriter:
         # appends would under-count a mixed merge of appends with an
         # earlier compaction and under-size derive_n_segments
         merged_docs = sum(live[g].get("n_docs", 0) for g in gens)
-        # re-segment over the merged doc-id RANGE: ids are dense within
-        # the union of the merged appends only if the merge covers a
-        # contiguous generation prefix; the doc-range formula needs just
-        # max(doc_id), so let the encoder compute it (n_docs=None) — one
-        # cheap pass over the blob-level decode
+        # re-segment over the merged doc-id RANGE, with the bounds taken
+        # straight from the manifest (append entries record
+        # doc_base+n_docs, compaction entries doc_lo/doc_hi) — NOT from
+        # a max(doc_id) decode pass over every merged blob. Sizing the
+        # segments by the range SPAN keeps the docs-per-segment bound
+        # even when merging a non-contiguous subset of generations
+        # (sparse range -> some emptier segments, never an oversized
+        # one). Manifests written before bounds were recorded fall back
+        # to the one-pass decode (n_docs=None).
+        bounds = [self._entry_bounds(live[g]) for g in gens]
+        if all(b is not None for b in bounds):
+            doc_lo = min(b[0] for b in bounds)
+            span = max(max(b[1] for b in bounds) - doc_lo, 1)
+        else:
+            doc_lo, span = 0, None
         seg = encode_postings_segmented(
             tokens, self.config.block_size,
-            derive_n_segments(merged_docs or 1),
-            n_docs=None, with_gdf=False,
+            derive_n_segments(span or merged_docs or 1,
+                              self.config.docs_per_segment),
+            n_docs=span, with_gdf=False, doc_base=doc_lo,
         )
         gen = st["next_gen"]
         seg = seg.withColumn(
@@ -546,6 +629,8 @@ class SegmentedIndexWriter:
             "gen": gen,
             "replaces": [int(g) for g in gens],
             "n_docs": int(merged_docs),
+            **({"doc_lo": int(doc_lo), "doc_hi": int(doc_lo + span)}
+               if span is not None else {}),
             "total_cf": sum(
                 int(live[g].get("total_cf", 0)) for g in gens
             ),

@@ -5,6 +5,7 @@ from __future__ import annotations
 import json
 import os
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -345,3 +346,103 @@ def test_segmented_writer_mixed_compaction_counts_docs(spark, tmp_path):
     assert st["n_docs"] == len(pdf)
     full = _full_rebuild(spark, pdf)
     _assert_same_run(_bmw_run(spark, w.load()), _bmw_run(spark, full))
+
+
+def test_segmented_writer_rebases_append_segments(spark, tmp_path):
+    """A non-first append must spread its batch across its OWN doc-range
+    segments (regression: segmenting by ABSOLUTE doc id with n_docs =
+    batch size clamped every later batch into one segment — one giant
+    encode/query task), and query results still equal the full rebuild."""
+    from lucene_msmarco_spark.operators.index import (
+        assign_doc_ids,
+        build_index,
+    )
+    from lucene_msmarco_spark.operators.postings import (
+        CompactIndex,
+        bmw_search,
+    )
+    from lucene_msmarco_spark.operators.retrieval import compile_queries
+    from lucene_msmarco_spark.streaming.incremental import (
+        BuildConfig,
+        SegmentedIndexWriter,
+    )
+
+    pdf = (
+        transcripts_local(240, seed=11)
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    batches = [pdf.iloc[:120], pdf.iloc[120:]]
+    w = SegmentedIndexWriter(
+        spark, str(tmp_path / "rebase"),
+        config=BuildConfig(analyzer="simple", docs_per_segment=30),
+    )
+    e0 = w.append(spark.createDataFrame(batches[0]))
+    e1 = w.append(spark.createDataFrame(batches[1]))
+    # 120 docs at 30 docs/segment -> 4 segments per batch, BOTH batches
+    assert e0["seg_span"] == 4
+    assert e1["seg_span"] == 4, (
+        "second append clamped into fewer segments than its size implies"
+    )
+    seg1 = spark.read.parquet(str(tmp_path / "rebase"
+                                  / f"seg-{e1['gen']:06d}"))
+    per = seg1.groupBy("segment").agg(F.sum("df").alias("df")).collect()
+    assert len(per) == 4 and all(r["df"] > 0 for r in per)
+
+    docs = assign_doc_ids(spark.createDataFrame(pdf),
+                          ["conv_id", "turn_idx"])
+    idx = build_index(docs, analyzer="simple", cache=False)
+    full = CompactIndex.from_index(idx)
+    qdf = spark.createDataFrame(WRITER_QUERIES, "qid string, qtext string")
+    qt = compile_queries(qdf, analyzer="simple")
+    a = bmw_search(w.load(), qt, k=10).orderBy("qid", "rank").collect()
+    b = bmw_search(full, qt, k=10).orderBy("qid", "rank").collect()
+    _assert_same_run(a, b)
+
+
+def test_segmented_writer_tolerates_torn_manifest_tail(spark, tmp_path):
+    """A kill mid-manifest-write leaves a torn final line; every writer
+    op must keep working (the torn op never committed), and the next
+    commit must repair the file rather than concatenate into the torn
+    text."""
+    w, pdf, batches = _writer_fixture(spark, tmp_path)
+    e0 = w.append(spark.createDataFrame(batches[0]))
+    with open(w.manifest_path, "a") as f:
+        f.write('{"op": "append", "gen": 1, "n_do')  # torn mid-write
+    st = w.state()  # must not raise
+    assert [e["gen"] for e in st["live"]] == [e0["gen"]]
+    e1 = w.append(spark.createDataFrame(batches[1]))  # repairs + commits
+    assert e1["gen"] == e0["gen"] + 1
+    # the manifest is clean again: every line parses
+    with open(w.manifest_path) as f:
+        entries = [json.loads(ln) for ln in f if ln.strip()]
+    assert [e["gen"] for e in entries] == [e0["gen"], e1["gen"]]
+    full = _full_rebuild(
+        spark, pd.concat(batches[:2]).reset_index(drop=True)
+    )
+    _assert_same_run(_bmw_run(spark, w.load()), _bmw_run(spark, full))
+
+
+def test_writer_fingerprint_sum_not_xor(spark, tmp_path):
+    """Batch fingerprints must not XOR-cancel duplicate rows: two
+    different batches whose duplicated rows cancel identically would
+    collide under bit_xor and the second append would be silently
+    dropped as an idempotent no-op (data loss). Order-independence must
+    still hold."""
+    from lucene_msmarco_spark.streaming.incremental import (
+        SegmentedIndexWriter,
+    )
+
+    w = SegmentedIndexWriter(spark, str(tmp_path / "fp"))
+    schema = "conv_id string, turn_idx int, text string"
+    b1 = spark.createDataFrame(
+        [("x", 0, "t"), ("x", 0, "t"), ("y", 0, "u")], schema
+    )
+    b2 = spark.createDataFrame(
+        [("z", 0, "v"), ("z", 0, "v"), ("y", 0, "u")], schema
+    )
+    assert w._fingerprint(b1) != w._fingerprint(b2)
+    b1_rev = spark.createDataFrame(
+        [("y", 0, "u"), ("x", 0, "t"), ("x", 0, "t")], schema
+    )
+    assert w._fingerprint(b1) == w._fingerprint(b1_rev)

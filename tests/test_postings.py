@@ -23,6 +23,7 @@ from lucene_msmarco_spark.functions.varint import (
 from lucene_msmarco_spark.operators.index import assign_doc_ids, build_index
 from lucene_msmarco_spark.operators.postings import (
     CompactIndex,
+    _round_half_away,
     bmw_search,
     encode_postings,
     postings_to_tokens,
@@ -481,9 +482,12 @@ def test_bmw_rank_round_matches_rounded_oracle(spark, idx, compact_auto,
         .orderBy("qid", "rank").toPandas()
     )
     for qid, grp in allscored.groupby("qid"):
-        grp = grp.assign(rs=grp["score"].round(digits)).sort_values(
-            ["rs", "doc_id"], ascending=[False, True]
-        )
+        # half-AWAY rounding, like Spark F.round / DuckDB round() — the
+        # rule the contract oracle applies; pandas .round is half-even
+        # and would disagree on exact .5 boundaries
+        grp = grp.assign(
+            rs=_round_half_away(grp["score"].to_numpy(), digits)
+        ).sort_values(["rs", "doc_id"], ascending=[False, True])
         expect = grp["doc_id"].head(10).tolist()
         have = got[got["qid"] == qid].sort_values("rank")
         assert have["doc_id"].tolist() == expect, qid
@@ -491,6 +495,59 @@ def test_bmw_rank_round_matches_rounded_oracle(spark, idx, compact_auto,
         truth = dict(zip(grp["doc_id"], grp["score"]))
         for d, s in zip(have["doc_id"], have["score"]):
             assert abs(s - truth[d]) <= 1e-9 * max(1.0, abs(truth[d]))
+
+
+def test_round_half_away_matches_sql_round():
+    """The rank_round rounding rule must equal Spark F.round / DuckDB
+    round() (half AWAY from zero), not numpy's half-even — dyadic
+    doubles sit exactly on .5 boundaries and the two rules diverge
+    there."""
+    import duckdb
+
+    x = np.array([0.15625, 0.40625, -0.15625, 1.5, 2.5, 0.0, 3.14159])
+    got = _round_half_away(x, 4)
+    for xi, gi in zip(x, got):
+        oracle = duckdb.sql(
+            f"select round({xi!r}::double, 4)"
+        ).fetchone()[0]
+        assert gi == oracle, (xi, gi, oracle)
+    # the boundary cases where numpy's half-even disagrees
+    assert _round_half_away(np.array([0.15625]), 4)[0] == 0.1563
+    assert np.round(np.array([0.15625]), 4)[0] == 0.1562
+
+
+def test_segmented_encode_rebases_on_doc_base(spark):
+    """doc_base must cut the RELATIVE id range into segments: without
+    it, a base-offset batch (incremental append) clamps every posting
+    into the last segment — one giant task."""
+    from lucene_msmarco_spark.operators.postings import (
+        encode_postings_segmented,
+    )
+
+    base, n = 1_000, 200
+    rows = [(f"t{i % 7}", base + i, 1 + i % 3, 5) for i in range(n)]
+    tokens = spark.createDataFrame(
+        rows, "term string, doc_id long, tf int, doclen int"
+    )
+    seg = encode_postings_segmented(
+        tokens, n_segments=4, n_docs=n, doc_base=base, with_gdf=False
+    )
+    from lucene_msmarco_spark.operators.postings import _decode_row
+
+    pdf = seg.toPandas()
+    assert sorted(pdf["segment"].unique()) == [0, 1, 2, 3]
+    # each segment covers its 50-doc slice of the RELATIVE range
+    for s, grp in pdf.groupby("segment"):
+        docs = np.concatenate(
+            [_decode_row(r)[0] for r in grp.itertuples()]
+        )
+        lo, hi = base + 50 * s, base + 50 * (s + 1)
+        assert docs.min() >= lo and docs.max() < hi
+    # regression shape: WITHOUT doc_base all rows clamp to segment 3
+    clamped = encode_postings_segmented(
+        tokens, n_segments=4, n_docs=n, with_gdf=False
+    ).toPandas()
+    assert sorted(clamped["segment"].unique()) == [3]
 
 
 def test_rank_round_rejects_termwise_layout(spark, compact):
