@@ -22,7 +22,8 @@ Operator coverage (SURVEY.md §2 IDs in parens):
   training-data-pipeline ops: text_quality, lang_id, doc_fingerprint,
   dedup_exact_prefix, dedup_minhash_lsh (b×r banded),
   dedup_ngram_jaccard (df-capped), dedup_simhash, ann_cosine_topk,
-  ann_lsh_topk, token_stats, events_hourly, events_sessionize.
+  ann_lsh_topk, dedup_embedding (operator-backed embedding-cosine
+  near-dup), token_stats, events_hourly, events_sessionize.
   ``bmw_topk`` (compressed Block-Max path) and ``incremental_topk``
   (SegmentedIndexWriter append+compact+load lifecycle, S14) both run
   against the ``bm25_topk`` oracle — same rows, different engines.
@@ -300,6 +301,34 @@ shingles AS (
 )"""
 
 
+def _lsh_bucket_tables_sql(d: str, n_bits: int = 8, n_tables: int = 4) -> str:
+    """UNION-ALL of per-table random-hyperplane bucket keys over the
+    ``embeddings`` view — the SQL twin of ``operators/pipeline.lsh_bucket``
+    (same seeded planes, inlined as literals; bit_i = [round(v . g_ti, 6)
+    >= 0]; bucket packs the table id above the sign bits). Shared by the
+    ``ann_lsh_topk`` and ``dedup_embedding`` contract oracles."""
+    from .operators.pipeline import random_hyperplanes  # noqa: PLC0415
+
+    D = _dialect(d)
+    planes = random_hyperplanes(64, n_bits, n_tables)
+    arr = (lambda v: "array(" + ", ".join(
+        f"CAST({x} AS DOUBLE)" for x in v) + ")") if d == "spark" else (
+        lambda v: "[" + ", ".join(str(x) for x in v) + "]")
+
+    def bucket_expr(t: int) -> str:
+        bits = " + ".join(
+            f"(CASE WHEN round({D['DOT']('embedding', arr(planes[t, i]))}"
+            f", 6) >= 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(n_bits)
+        )
+        return f"CAST({(t << n_bits)} + {bits} AS BIGINT)"
+
+    return "\n  UNION ALL ".join(
+        f"SELECT vec_id, {bucket_expr(t)} AS bucket FROM embeddings"
+        for t in range(n_tables)
+    )
+
+
 def _simhash_bits_sql(d: str) -> tuple[str, str]:
     """(per-bit sum columns, signature combine expr) for a 16-bit SimHash
     from the md5 nibbles of each term, tf-weighted."""
@@ -556,26 +585,7 @@ FROM documents ORDER BY doc_id"""
         # planes, inlined here as literals); bucket packs the table id
         # above the sign bits; candidates = pairs sharing ANY table's
         # bucket, deduped, then exact cosine
-        from .operators.pipeline import random_hyperplanes  # noqa: PLC0415
-
-        n_bits, n_tables = 8, 4
-        planes = random_hyperplanes(64, n_bits, n_tables)
-        arr = (lambda v: "array(" + ", ".join(
-            f"CAST({x} AS DOUBLE)" for x in v) + ")") if d == "spark" else (
-            lambda v: "[" + ", ".join(str(x) for x in v) + "]")
-
-        def bucket_expr(t: int) -> str:
-            bits = " + ".join(
-                f"(CASE WHEN round({D['DOT']('embedding', arr(planes[t, i]))}"
-                f", 6) >= 0 THEN {1 << i} ELSE 0 END)"
-                for i in range(n_bits)
-            )
-            return f"CAST({(t << n_bits)} + {bits} AS BIGINT)"
-
-        tables = "\n  UNION ALL ".join(
-            f"SELECT vec_id, {bucket_expr(t)} AS bucket FROM embeddings"
-            for t in range(n_tables)
-        )
+        tables = _lsh_bucket_tables_sql(d)
         dot_ab = D["DOT"]("a.embedding", "b.embedding")
         dot_aa = D["DOT"]("a.embedding", "a.embedding")
         dot_bb = D["DOT"]("b.embedding", "b.embedding")
@@ -605,6 +615,39 @@ ranked AS (
 )
 SELECT qvec, nvec, rank, sim FROM ranked WHERE rank <= 5
 ORDER BY qvec, rank"""
+    if name == "dedup_embedding":
+        # embedding-cosine near-duplicate pairs (operators/pipeline.py
+        # embedding_near_dup): candidates from the SAME multi-table
+        # random-hyperplane buckets as ann_lsh_topk, unordered pairs
+        # deduped across tables (id_a < id_b), then exact cosine >=
+        # 0.35. The threshold is sized to the synthetic table's
+        # near-random cosine range (max off-diagonal ~0.51); the nearest
+        # pair sits ~4e-5 from the cut at both test SFs, >> any
+        # summation-order float noise, so the raw-value filter is
+        # engine-stable.
+        tables = _lsh_bucket_tables_sql(d)
+        dot_ab = D["DOT"]("a.embedding", "b.embedding")
+        dot_aa = D["DOT"]("a.embedding", "a.embedding")
+        dot_bb = D["DOT"]("b.embedding", "b.embedding")
+        return f"""
+WITH bk AS (
+  {tables}
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+),
+sims AS (
+  SELECT c.id_a, c.id_b,
+         {dot_ab} / (sqrt({dot_aa}) * sqrt({dot_bb})) AS cosine
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.id_a
+  JOIN embeddings b ON b.vec_id = c.id_b
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       round(cosine, 4) AS cosine
+FROM sims WHERE cosine >= 0.35
+ORDER BY id_a, id_b"""
     if name == "induce_scores":
         # Q8 ScoreInducer: recompute scores under ANOTHER model (LM-JM)
         # for exactly the (qid, doc) pairs of the BM25 top-10 run — pairs
@@ -863,10 +906,36 @@ def make_spark_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def _dedup_embedding_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup contract: run the real DataFrame
+    operator (``operators/pipeline.embedding_near_dup`` — pandas-UDF
+    ``lsh_bucket`` signatures, bucket equi-join candidate pairs, exact
+    ``_cos`` filter) against the SQL oracle's inlined-plane twin. Unlike
+    ``ann_lsh_topk`` (dialect-templated SQL on both sides), this row
+    value-level-verifies the numpy bucketing and the fold-based cosine
+    themselves. Threshold rationale in ``build_sql("dedup_embedding")``.
+    """
+    from pyspark.sql import functions as F
+
+    from .operators.pipeline import embedding_near_dup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_near_dup(
+        emb, min_cosine=0.35, n_bits=8, n_tables=4,
+        id_col="vec_id", vec_col="embedding",
+    )
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("cosine", 4).alias("cosine"),
+    ).orderBy("id_a", "id_b")
+
+
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {n: make_spark_query(n) for n in QUERY_NAMES}
     out["bmw_topk"] = _bmw_topk_query
     out["incremental_topk"] = _incremental_topk_query
+    out["dedup_embedding"] = _dedup_embedding_query
     return out
 
 
@@ -876,4 +945,6 @@ def duckdb_oracles() -> dict[str, str]:
     out["bmw_topk"] = build_sql("bm25_topk", "duckdb")
     # the incremental append+compact+load lifecycle must too
     out["incremental_topk"] = build_sql("bm25_topk", "duckdb")
+    # the DataFrame-operator LSH near-dup must equal its inlined-plane twin
+    out["dedup_embedding"] = build_sql("dedup_embedding", "duckdb")
     return out
