@@ -22,8 +22,9 @@ Operator coverage (SURVEY.md §2 IDs in parens):
   training-data-pipeline ops: text_quality, lang_id, doc_fingerprint,
   dedup_exact_prefix, dedup_minhash_lsh (b×r banded),
   dedup_ngram_jaccard (df-capped), dedup_simhash, ann_cosine_topk,
-  ann_lsh_topk, dedup_embedding (operator-backed embedding-cosine
-  near-dup), token_stats, events_hourly, events_sessionize.
+  ann_lsh_topk, ann_ivf_topk (inverted-file probe path),
+  dedup_embedding (operator-backed embedding-cosine near-dup),
+  token_stats, events_hourly, events_sessionize.
   ``bmw_topk`` (compressed Block-Max path) and ``incremental_topk``
   (SegmentedIndexWriter append+compact+load lifecycle, S14) both run
   against the ``bm25_topk`` oracle — same rows, different engines.
@@ -301,6 +302,15 @@ shingles AS (
 )"""
 
 
+def _sql_array(d: str):
+    """Render a 1-D float vector as a dialect array literal (SQL-inlined
+    model weights: LSH hyperplanes, IVF centroids)."""
+    if d == "spark":
+        return lambda v: "array(" + ", ".join(
+            f"CAST({x} AS DOUBLE)" for x in v) + ")"
+    return lambda v: "[" + ", ".join(str(x) for x in v) + "]"
+
+
 def _lsh_bucket_tables_sql(d: str, n_bits: int = 8, n_tables: int = 4) -> str:
     """UNION-ALL of per-table random-hyperplane bucket keys over the
     ``embeddings`` view — the SQL twin of ``operators/pipeline.lsh_bucket``
@@ -311,9 +321,7 @@ def _lsh_bucket_tables_sql(d: str, n_bits: int = 8, n_tables: int = 4) -> str:
 
     D = _dialect(d)
     planes = random_hyperplanes(64, n_bits, n_tables)
-    arr = (lambda v: "array(" + ", ".join(
-        f"CAST({x} AS DOUBLE)" for x in v) + ")") if d == "spark" else (
-        lambda v: "[" + ", ".join(str(x) for x in v) + "]")
+    arr = _sql_array(d)
 
     def bucket_expr(t: int) -> str:
         bits = " + ".join(
@@ -615,6 +623,62 @@ ranked AS (
 )
 SELECT qvec, nvec, rank, sim FROM ranked WHERE rank <= 5
 ORDER BY qvec, rank"""
+    if name == "ann_ivf_topk":
+        # IVF with the data-independent seeded quantizer (operators/
+        # pipeline.ivf_centroids — the SAME centroids, inlined as
+        # literals): every vector routes to its argmax-dot list (dot
+        # rounded to 6, ties to the lower list id), queries (vec_id <
+        # 20) probe their 4 nearest of 16 lists, exact cosine within
+        # probed lists only
+        from .operators.pipeline import ivf_centroids  # noqa: PLC0415
+
+        n_lists, nprobe = 16, 4
+        C = ivf_centroids(64, n_lists)
+        arr = _sql_array(d)
+        lists = "\n  UNION ALL ".join(
+            f"SELECT vec_id, CAST({li} AS BIGINT) AS l, "
+            f"round({D['DOT']('embedding', arr(C[li]))}, 6) AS simc "
+            f"FROM embeddings"
+            for li in range(n_lists)
+        )
+        dot_ab = D["DOT"]("a.embedding", "b.embedding")
+        dot_aa = D["DOT"]("a.embedding", "a.embedding")
+        dot_bb = D["DOT"]("b.embedding", "b.embedding")
+        return f"""
+WITH lists AS (
+  {lists}
+),
+assign AS (
+  SELECT vec_id, l,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id ORDER BY simc DESC, l ASC
+         ) AS pr
+  FROM lists
+),
+inv AS (SELECT vec_id, l FROM assign WHERE pr = 1),
+probe AS (SELECT vec_id, l FROM assign WHERE pr <= {nprobe}
+          AND vec_id < 20),
+cand AS (
+  SELECT p.vec_id AS qvec, i.vec_id AS nvec
+  FROM probe p JOIN inv i ON p.l = i.l AND i.vec_id <> p.vec_id
+),
+sims AS (
+  SELECT c.qvec, c.nvec,
+         {dot_ab} / (sqrt({dot_aa}) * sqrt({dot_bb})) AS sim
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.qvec
+  JOIN embeddings b ON b.vec_id = c.nvec
+),
+ranked AS (
+  SELECT qvec, nvec,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY qvec ORDER BY round(sim, 6) DESC, nvec ASC
+         ) AS INT) AS rank,
+         round(sim, 4) AS sim
+  FROM sims
+)
+SELECT qvec, nvec, rank, sim FROM ranked WHERE rank <= 5
+ORDER BY qvec, rank"""
     if name == "dedup_embedding":
         # embedding-cosine near-duplicate pairs (operators/pipeline.py
         # embedding_near_dup): candidates from the SAME multi-table
@@ -788,7 +852,8 @@ QUERY_NAMES = [
     "text_quality", "lang_id", "doc_fingerprint",
     "dedup_exact_prefix", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash", "ann_cosine_topk", "events_hourly",
-    "qpp_maxidf", "token_stats", "ann_lsh_topk", "events_sessionize",
+    "qpp_maxidf", "token_stats", "ann_lsh_topk", "ann_ivf_topk",
+    "events_sessionize",
     "induce_scores", "run_rank_distance", "run_rbo",
     "retrieval_events_join",
 ]

@@ -409,6 +409,126 @@ def embedding_near_dup(
     ).filter(F.col("cosine") >= min_cosine)
 
 
+def ivf_centroids(
+    d: int, n_lists: int = 16, seed: int = LSH_SEED
+) -> np.ndarray:
+    """(n_lists, d) seeded random unit directions, rounded to 4 decimals
+    so the values survive a round-trip through SQL literals exactly — the
+    data-INDEPENDENT coarse quantizer the ``ann_ivf_topk`` contract
+    oracle inlines. Quality-fitted centroids come from
+    ``fit_ivf_centroids``; the routing/probing machinery is identical
+    either way. (seed offset keeps the draw disjoint from the LSH
+    hyperplanes at the same seed.)"""
+    rng = np.random.default_rng(seed + 17)
+    c = rng.standard_normal((n_lists, d))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return np.round(c, 4)
+
+
+def fit_ivf_centroids(
+    embeddings: DataFrame, n_lists: int = 16, sample_size: int = 4096,
+    iters: int = 8, seed: int = LSH_SEED,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer fitted DRIVER-side on a
+    deterministic sample (orderBy(id).limit(n) plans as
+    TakeOrderedAndProject — bounded at any corpus size). The classic
+    fit-small/apply-big split: the model is n_lists x d floats, applied
+    executor-side as one matmul per Arrow batch (``ivf_assign``).
+    Deterministic: seeded init (``ivf_centroids``), argmax ties to the
+    lower list id, empty lists keep their previous centroid."""
+    rows = (
+        embeddings.orderBy(id_col).select(vec_col)
+        .limit(int(sample_size)).collect()
+    )
+    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    X = X / np.where(norms == 0, 1.0, norms)
+    C = ivf_centroids(X.shape[1], n_lists, seed).astype(np.float64)
+    for _ in range(int(iters)):
+        assign = np.argmax(X @ C.T, axis=1)
+        for li in range(int(n_lists)):
+            m = X[assign == li]
+            if len(m):
+                v = m.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    C[li] = v / n
+    return np.round(C, 4)
+
+
+def ivf_assign(
+    embeddings: DataFrame, centroids: np.ndarray, nprobe: int = 1,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Route each vector to its ``nprobe`` highest-dot coarse lists
+    (dot rounded to 6 decimals before comparison — insensitive to
+    summation-order ulps vs the SQL oracle's fold; ties to the lower
+    list id, the oracle's ROW_NUMBER order). One numpy matmul per Arrow
+    batch against the broadcast (n_lists, d) centroid matrix; output one
+    (id, vec, list_id) row per probe."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    C = np.asarray(centroids, dtype=np.float64)
+    npb = int(nprobe)
+
+    @pandas_udf(ArrayType(LongType()))
+    def probes(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        dots = np.round(X @ C.T, 6)
+        order = np.argsort(-dots, axis=1, kind="stable")[:, :npb]
+        return pd.Series(list(order.astype(np.int64)))
+
+    return embeddings.select(
+        F.col(id_col), F.col(vec_col),
+        F.explode(probes(F.col(vec_col))).alias("list_id"),
+    )
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame, k: int = 5, n_lists: int = 16, nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    query_filter=None, seed: int = LSH_SEED,
+) -> DataFrame:
+    """IVF approximate cosine top-k — the second scale path next to LSH:
+    every vector routes to its single nearest coarse-centroid list (the
+    inverted-file layout; at cluster scale ``list_id`` is the partition/
+    bucket key of the vector table, so a probe reads only its lists),
+    queries probe their ``nprobe`` nearest lists, and only probed lists
+    are scored exactly. ``centroids=None`` fits spherical k-means
+    driver-side (``fit_ivf_centroids``); pass ``ivf_centroids(...)`` for
+    the data-independent quantizer the contract oracle inlines.
+    ``query_filter``: optional Column restricting which vectors act as
+    queries. Output: (qvec, nvec, rank, sim)."""
+    C = centroids if centroids is not None else fit_ivf_centroids(
+        embeddings, n_lists, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    inv = ivf_assign(embeddings, C, 1, id_col, vec_col).select(
+        F.col(id_col).alias("nvec"), F.col(vec_col).alias("nemb"),
+        "list_id",
+    )
+    q = ivf_assign(embeddings, C, nprobe, id_col, vec_col).select(
+        F.col(id_col).alias("qvec"), F.col(vec_col).alias("qemb"),
+        "list_id",
+    )
+    if query_filter is not None:
+        q = q.filter(query_filter)
+    # index side holds ONE list per vector, so a (qvec, nvec) pair can
+    # match at most one probed list — no cross-probe dedup needed
+    pairs = q.join(inv, "list_id").filter(F.col("qvec") != F.col("nvec"))
+    sims = pairs.select(
+        "qvec", "nvec", _cos(F.col("qemb"), F.col("nemb")).alias("sim")
+    )
+    w = Window.partitionBy("qvec").orderBy(F.desc("sim"), F.asc("nvec"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qvec", "nvec", "rank", "sim")
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

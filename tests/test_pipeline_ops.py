@@ -140,6 +140,55 @@ def test_ann_lsh_multiprobe_no_worse(spark, embeddings):
     assert (joined["p"] >= joined["b"] - 1e-12).all()
 
 
+def test_ann_ivf_matches_sql(spark, embeddings):
+    # the DataFrame operator with the data-independent seeded quantizer
+    # equals the oracle-checked SQL form (same inlined centroids) exactly
+    api = P.ann_ivf_topk(
+        embeddings, k=5, centroids=P.ivf_centroids(64, 16),
+        query_filter=F.col("qvec") < 20,
+    ).orderBy("qvec", "rank").toPandas()
+    sql = _sql(spark, "ann_ivf_topk").toPandas()
+    assert api["qvec"].tolist() == sql["qvec"].tolist()
+    assert api["nvec"].tolist() == sql["nvec"].tolist()
+    assert np.allclose(api["sim"].round(4), sql["sim"], atol=1e-4)
+
+
+def test_ann_ivf_full_probe_is_exact(spark, embeddings):
+    # probing every list degenerates to the exhaustive search: candidate
+    # set = all non-self pairs, so ranks equal ann_brute_topk
+    queries = embeddings.filter(F.col("vec_id") < 20)
+    brute = P.ann_brute_topk(embeddings, queries, k=5).toPandas()
+    full = P.ann_ivf_topk(
+        embeddings, k=5, n_lists=16, nprobe=16,
+        centroids=P.ivf_centroids(64, 16),
+        query_filter=F.col("qvec") < 20,
+    ).orderBy("qvec", "rank").toPandas()
+    assert brute.sort_values(["qvec", "rank"])["nvec"].tolist() == \
+        full["nvec"].tolist()
+
+
+def test_ann_ivf_fitted_recall_vs_brute(spark, embeddings):
+    # spherical k-means centroids (fit_ivf_centroids is deterministic:
+    # seeded init, lower-id tie-break) beat the random quantizer at the
+    # same probe budget; recall floor pinned on the fixture embeddings
+    queries = embeddings.filter(F.col("vec_id") < 100)
+    brute = P.ann_brute_topk(embeddings, queries, k=5).toPandas()
+    truth = set(zip(brute["qvec"], brute["nvec"]))
+
+    def recall(centroids):
+        appr = P.ann_ivf_topk(
+            embeddings, k=5, n_lists=16, nprobe=4, centroids=centroids,
+            query_filter=F.col("qvec") < 100,
+        ).toPandas()
+        got = set(zip(appr["qvec"], appr["nvec"]))
+        return len(truth & got) / len(truth)
+
+    fitted = recall(P.fit_ivf_centroids(embeddings, 16))
+    rand = recall(P.ivf_centroids(64, 16))
+    assert fitted >= 0.55, f"fitted recall@5 {fitted:.3f}"
+    assert fitted > rand, f"fit did not help: {fitted:.3f} <= {rand:.3f}"
+
+
 def test_embedding_near_dup_threshold(spark, embeddings):
     pairs = P.embedding_near_dup(embeddings, min_cosine=0.5).toPandas()
     assert (pairs["cosine"] >= 0.5).all()
