@@ -501,7 +501,15 @@ def ann_ivf_topk(
     driver-side (``fit_ivf_centroids``); pass ``ivf_centroids(...)`` for
     the data-independent quantizer the contract oracle inlines.
     ``query_filter``: optional Column restricting which vectors act as
-    queries. Output: (qvec, nvec, rank, sim)."""
+    queries. Output: (qvec, nvec, rank, sim).
+
+    Scale sizing: the probe join keys on ``list_id``, so ``n_lists`` is
+    the join's key cardinality AND the per-task read unit — size it
+    ~sqrt(n_vectors) (standard IVF sizing: balances lists-scanned vs
+    list length, and keeps the shuffle free of small-key skew). The
+    default 16 fits the test fixtures; at 10^9 vectors use ~3*10^4
+    lists, at which point the query side is tiny relative to the
+    inverted file and AQE broadcasts it."""
     C = centroids if centroids is not None else fit_ivf_centroids(
         embeddings, n_lists, seed=seed, id_col=id_col, vec_col=vec_col
     )
