@@ -666,3 +666,58 @@ class SegmentedIndexWriter:
             ),
             analyzer=self.config.analyzer,
         )
+
+
+def stream_append(
+    writer: SegmentedIndexWriter,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    compact_every: int | None = None,
+    trigger: dict | None = None,
+    query_name: str = "lms_stream_append",
+):
+    """Structured-Streaming ingestion: index a ``readStream`` source
+    through the writer, one generation per micro-batch, with optional
+    manifest-driven background compaction.
+
+    Exactly-once END TO END from an at-least-once sink: Spark only
+    guarantees at-least-once delivery to ``foreachBatch``, but
+    ``SegmentedIndexWriter.append`` is content-addressed (order-
+    independent batch fingerprint -> manifest), so a replayed
+    micro-batch is a committed no-op — the stream can crash and restart
+    at any point, or even re-run from a fresh checkpoint, without
+    duplicating a single document. The checkpoint makes replays rare;
+    the fingerprint makes them harmless.
+
+    ``compact_every``: when the LIVE generation count reaches this many,
+    fold them into one re-segmented generation (the Lucene background-
+    merge cadence). Driven off the manifest, not driver memory, so the
+    cadence survives restarts.
+
+    ``trigger``: ``writeStream`` trigger kwargs. Defaults to
+    ``{"availableNow": True}`` — drain everything currently in the
+    source (respecting rate limits like ``maxFilesPerTrigger``), then
+    stop: the batch-backfill shape. Pass
+    ``{"processingTime": "30 seconds"}`` to tail a live feed.
+
+    Returns the started ``StreamingQuery``; callers
+    ``awaitTermination()`` / ``stop()`` it.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        writer.append(batch_df)
+        if compact_every and len(writer.state()["live"]) >= int(
+            compact_every
+        ):
+            writer.compact()
+
+    return (
+        stream_df.writeStream
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

@@ -446,3 +446,77 @@ def test_writer_fingerprint_sum_not_xor(spark, tmp_path):
         [("y", 0, "u"), ("x", 0, "t"), ("x", 0, "t")], schema
     )
     assert w._fingerprint(b1) == w._fingerprint(b1_rev)
+
+
+def test_stream_append_equals_full_rebuild(spark, tmp_path):
+    """Structured-Streaming ingestion (file source, one file per
+    micro-batch via maxFilesPerTrigger + availableNow) must equal the
+    batch full rebuild; then a FULL replay from a fresh checkpoint
+    (at-least-once delivery, worst case) must append nothing — the
+    content-addressed manifest makes the foreachBatch sink exactly-once
+    end to end."""
+    import os as _os
+
+    from lucene_msmarco_spark.streaming.incremental import stream_append
+
+    w, pdf, batches = _writer_fixture(spark, tmp_path)
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    # one parquet file per batch; mtimes strictly increasing so the file
+    # source's oldest-first order matches the batch order (doc ids are
+    # allocated append-order, and rank tie-breaks read them)
+    for i, b in enumerate(batches):
+        _land(spark, b, src, tmp_path, f"batch-{i}")
+        p = str(src / f"batch-{i}.parquet")
+        _os.utime(p, (1_000_000 + i, 1_000_000 + i))
+    from lucene_msmarco_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+    schema = TRANSCRIPT_SCHEMA
+
+    def start(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(str(src))
+        )
+        return stream_append(w, stream, str(tmp_path / ckpt))
+
+    assert start("ckpt").awaitTermination(300)
+    full = _bmw_run(spark, _full_rebuild(spark, pdf))
+    _assert_same_run(_bmw_run(spark, w.load()), full)
+    n_gens = len(w.state()["live"])
+    assert n_gens == len(batches)
+
+    assert start("ckpt_replay").awaitTermination(300)
+    assert len(w.state()["live"]) == n_gens
+    _assert_same_run(_bmw_run(spark, w.load()), full)
+
+
+def test_stream_append_compacts_on_cadence(spark, tmp_path):
+    """compact_every folds live generations through the streaming sink;
+    results are unchanged by the merge."""
+    import os as _os
+
+    from lucene_msmarco_spark.streaming.incremental import stream_append
+
+    w, pdf, batches = _writer_fixture(spark, tmp_path)
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    for i, b in enumerate(batches):
+        _land(spark, b, src, tmp_path, f"batch-{i}")
+        p = str(src / f"batch-{i}.parquet")
+        _os.utime(p, (1_000_000 + i, 1_000_000 + i))
+    from lucene_msmarco_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+    schema = TRANSCRIPT_SCHEMA
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    q = stream_append(w, stream, str(tmp_path / "ckpt"), compact_every=2)
+    assert q.awaitTermination(300)
+    # 3 appends with compact-at-2: gens 0,1 -> compacted, + append 2
+    ops = [e["op"] for e in w._entries()]
+    assert "compact" in ops
+    assert len(w.state()["live"]) < len(batches)
+    _assert_same_run(
+        _bmw_run(spark, w.load()),
+        _bmw_run(spark, _full_rebuild(spark, pdf)),
+    )
