@@ -32,7 +32,9 @@ def entry(spark: SparkSession) -> DataFrame:
     from lucene_msmarco_spark.session import _ship_package
 
     _ship_package(spark)
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
     idx = build_index(docs, analyzer="english")
     qdf = spark.createDataFrame(
         entry_queries.QUERYSET, "qid string, qtext string"

@@ -157,7 +157,14 @@ def _bench_engine(spark, input_path: str, n_queries: int,
         if idx is not None:
             spark.catalog.clearCache()
         t0 = time.time()
-        tr = spark.read.parquet(input_path)
+        # prune to the columns the build uses BEFORE the doc-store
+        # shuffle: role/tool/ts otherwise ride through the exchange and
+        # get pinned in the cache (the reference indexes (docid, text)
+        # only — indexing/MsMarcoIndexer). The select reaches the scan
+        # (ReadSchema) so the parquet read shrinks too.
+        tr = spark.read.parquet(input_path).select(
+            "conv_id", "turn_idx", "text"
+        )
         docs = assign_doc_ids(tr, ["conv_id", "turn_idx"],
                               num_partitions=doc_partitions)
         idx = build_index(docs, analyzer="english", cache=True)
