@@ -577,6 +577,70 @@ SELECT qa.qid,
                  THEN ln(CAST(g.n_docs AS DOUBLE) / qa.df) END), 0), 4)
          AS maxidf
 FROM qa CROSS JOIN g GROUP BY qa.qid ORDER BY qa.qid"""
+    if name == "qpp_rsd":
+        # P6 RSD (qpp/RSDSpecificity.java:23-51) with the SQL-expressible
+        # md5 seeded shuffle (operators/qpp._permutation "md5" — the SAME
+        # construction, so the operator and this oracle sample
+        # identically): 10 samples per query, each = the top-100 run
+        # permuted by md5('314152:s:qid:doc_id') truncated to
+        # min(20, n); estimate = var_pop(sample scores) * avgidf_nqc
+        # (OOV df -> 1, BaseIDFSpecificity.idfs()); similarity =
+        # RBO(original, sample, k=n, p=0.9); rsd = mean(sim * est).
+        str_s = D["STR"]("t.s")
+        str_doc = D["STR"]("r.doc_id")
+        samples = ", ".join(f"({s})" for s in range(10))
+        return base + f""",
+run AS (SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 100),
+nq AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n FROM run GROUP BY qid),
+samples AS (SELECT s FROM (VALUES {samples}) AS t(s)),
+perm AS (
+  SELECT r.qid, t.s, r.doc_id, r.score, r.rank,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY r.qid, t.s
+           ORDER BY md5('314152:' || {str_s} || ':' || r.qid || ':'
+                        || {str_doc}), r.doc_id
+         ) AS INT) AS srank
+  FROM run r CROSS JOIN samples t
+),
+samp AS (
+  SELECT p.qid, p.s, p.doc_id, p.score, p.srank
+  FROM perm p JOIN nq ON p.qid = nq.qid
+  WHERE p.srank <= LEAST(20, nq.n)
+),
+vest AS (SELECT qid, s, var_pop(score) AS v FROM samp GROUP BY qid, s),
+depths AS (SELECT {D['EXPLODE'](D['SEQ']('1', '100'))} AS d),
+ov AS (
+  SELECT r.qid, sa.s, d.d, CAST(COUNT(*) AS DOUBLE) AS ov
+  FROM run r
+  JOIN samp sa ON r.qid = sa.qid AND r.doc_id = sa.doc_id
+  JOIN depths d ON r.rank <= d.d AND sa.srank <= d.d
+  GROUP BY r.qid, sa.s, d.d
+),
+qsd AS (
+  SELECT nq.qid, t.s, d.d
+  FROM nq CROSS JOIN samples t JOIN depths d ON d.d <= nq.n
+),
+sims AS (
+  SELECT qsd.qid, qsd.s,
+         0.1 * SUM(POWER(0.9, qsd.d - 1) * COALESCE(ov.ov, 0) / qsd.d)
+           AS sim
+  FROM qsd LEFT JOIN ov
+    ON qsd.qid = ov.qid AND qsd.s = ov.s AND qsd.d = ov.d
+  GROUP BY qsd.qid, qsd.s
+),
+aidf AS (
+  SELECT q.qid,
+         AVG(ln(CAST(g.n_docs AS DOUBLE)
+                / GREATEST(COALESCE(s.df, 0), 1))) AS aidf
+  FROM qterms q LEFT JOIN tstats s ON q.term = s.term CROSS JOIN g
+  GROUP BY q.qid
+)
+SELECT m.qid,
+       round(SUM(m.sim * COALESCE(v.v, 0) * a.aidf) / 10, 4) AS rsd
+FROM sims m
+JOIN vest v ON m.qid = v.qid AND m.s = v.s
+JOIN aidf a ON m.qid = a.qid
+GROUP BY m.qid ORDER BY m.qid"""
     if name == "token_stats":
         ws = D["SPLIT_WS"]("text")
         bpe = D["REGEX_ALL"]("text", "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]")
@@ -996,11 +1060,49 @@ def _dedup_embedding_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _qpp_rsd_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded-sampling QPP contract (P6 RSD, ``qpp/RSDSpecificity.java:
+    23-51``): run the REAL operator chain — simple-analyzer index ->
+    segmented Block-Max top-100 (rank_round=4, the oracle's own total
+    order) -> ``qpp.query_idf_stats`` -> ``qpp.rsd`` with the
+    SQL-expressible md5 permutation — against the dual-dialect SQL twin
+    in ``build_sql("qpp_rsd")``. This value-level-verifies the
+    shuffle-sample machinery (sampled truncation, per-sample NQC
+    estimate, RBO similarity, the avgidf_nqc OOV rule) that previously
+    had only pytest coverage."""
+    from pyspark.sql import functions as F
+
+    from .operators.index import build_index
+    from .operators.postings import CompactIndex, bmw_search
+    from .operators.qpp import query_idf_stats, rsd
+    from .operators.retrieval import compile_queries
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = build_index(docs, analyzer="simple", cache=False)
+    compact = CompactIndex.from_index(idx, n_segments=4)
+    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
+    qt = compile_queries(qdf, "simple")
+    run = bmw_search(compact, qt, k=100, rank_round=4).select(
+        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
+    )
+    stats = query_idf_stats(qt, idx.term_stats, idx.stats.n_docs)
+    out = rsd(
+        run, stats, k=50, num_samples=10, sample_size=20,
+        permute="md5",
+    )
+    return out.select(
+        "qid", F.round("rsd", 4).alias("rsd")
+    ).orderBy("qid")
+
+
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {n: make_spark_query(n) for n in QUERY_NAMES}
     out["bmw_topk"] = _bmw_topk_query
     out["incremental_topk"] = _incremental_topk_query
     out["dedup_embedding"] = _dedup_embedding_query
+    out["qpp_rsd"] = _qpp_rsd_query
     return out
 
 
@@ -1012,4 +1114,6 @@ def duckdb_oracles() -> dict[str, str]:
     out["incremental_topk"] = build_sql("bm25_topk", "duckdb")
     # the DataFrame-operator LSH near-dup must equal its inlined-plane twin
     out["dedup_embedding"] = build_sql("dedup_embedding", "duckdb")
+    # the seeded-sampling QPP operator chain vs its md5-permutation twin
+    out["qpp_rsd"] = build_sql("qpp_rsd", "duckdb")
     return out

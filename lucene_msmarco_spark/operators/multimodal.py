@@ -4,11 +4,14 @@ pipelines at 100 TB scale.
 Media payloads are opaque ``binary`` columns with typed metadata
 (SURVEY.md task brief): the Spark-side machinery here — schemas, Arrow
 batch shapes, ``mapInPandas`` signatures, partition sizing — is real and
-tested; the actual codec work (JPEG decode, audio resample, video frame
-extraction) is STUBBED because no media libraries exist in this
-container. Each stub either raises ``NotImplementedError`` (strict mode)
-or produces a deterministic fake derived from the payload bytes, so the
-pipeline shape is testable end-to-end.
+tested. The codec call sites are IMPORT-GUARDED: when the host has the
+media libraries (PIL for images, soundfile for audio) the real decode
+runs; in this container (no media libs) each falls back to a
+deterministic fake derived from the payload bytes, so the pipeline shape
+is testable end-to-end and the SAME code lights up on a real deployment.
+``strict=True`` raises ``NotImplementedError`` instead of faking when
+the real codec is unavailable. Video frame extraction stays a stub
+either way (it needs an ffmpeg binary, not just a Python package).
 
 Scale notes:
 - media rows are orders of magnitude wider than text rows; the batch
@@ -80,12 +83,43 @@ def synthetic_media(spark, n: int = 64, seed: int = 42,
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def _has_pil() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _has_soundfile() -> bool:
+    try:
+        import soundfile  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def _fake_decode_image(payload: bytes) -> np.ndarray:
-    """STUB for a real JPEG/PNG decode (would use PIL/opencv — not in
-    this container). Deterministic 8x8 grayscale derived from payload
-    bytes so downstream features are stable and testable."""
+    """STUB for a real JPEG/PNG decode (used when PIL is absent).
+    Deterministic 8x8 grayscale derived from payload bytes so downstream
+    features are stable and testable."""
     h = hashlib.sha256(payload).digest()
     return np.frombuffer((h * 2)[:64], dtype=np.uint8).reshape(8, 8)
+
+
+def _real_decode_image(payload: bytes) -> np.ndarray:
+    """Real decode path (runs when PIL is importable on the executor):
+    decode -> grayscale -> 8x8 aHash grid, the standard perceptual-hash
+    preprocessing, yielding the same (8, 8) uint8 contract as the
+    stub."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    img = Image.open(BytesIO(payload)).convert("L").resize((8, 8))
+    return np.asarray(img, dtype=np.uint8)
 
 
 def image_features(
@@ -93,19 +127,23 @@ def image_features(
     media_repartition: int | None = None,
 ) -> DataFrame:
     """Decode + feature-extract images: (media_id, width, height,
-    n_bytes, mean_luma, phash). ``strict=True`` raises
-    NotImplementedError where the real codec belongs."""
+    n_bytes, mean_luma, phash). The decode is import-guarded: real PIL
+    decode when available on the executors, deterministic stub when not.
+    ``strict=True`` raises NotImplementedError instead of falling back
+    to the stub."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        real = _has_pil()
         for pdf in batches:
-            if strict:
+            if strict and not real:
                 raise NotImplementedError(
                     "real image decode requires PIL/opencv; "
                     "not available in this environment"
                 )
+            decode = _real_decode_image if real else _fake_decode_image
             rows = []
             for r in pdf.itertuples():
-                img = _fake_decode_image(bytes(r.payload))
+                img = decode(bytes(r.payload))
                 med = float(np.median(img))
                 bits = (img.flatten() >= med).astype(np.uint8)
                 phash = "".join(
@@ -129,21 +167,44 @@ def image_features(
     return src.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
 
 
+def _fake_decode_audio(payload: bytes) -> np.ndarray:
+    """STUB sample decode (used when soundfile is absent): bytes ->
+    [-1, 1] float samples, deterministically."""
+    raw = np.frombuffer(payload, dtype=np.uint8)
+    return (raw.astype(np.float64) - 127.5) / 127.5
+
+
+def _real_decode_audio(payload: bytes) -> np.ndarray:
+    """Real decode path (runs when soundfile is importable): WAV/FLAC
+    bytes -> mono float64 samples, same contract as the stub."""
+    from io import BytesIO
+
+    import soundfile as sf
+
+    samples, _sr = sf.read(BytesIO(payload), dtype="float64")
+    if samples.ndim > 1:
+        samples = samples.mean(axis=1)
+    return samples
+
+
 def audio_features(media: DataFrame, strict: bool = False) -> DataFrame:
     """Decode + feature-extract audio: rms + a chromaprint-style
-    fingerprint (STUB: derived deterministically from payload)."""
+    fingerprint. Import-guarded like ``image_features``: real soundfile
+    decode when available, deterministic stub when not; ``strict=True``
+    raises instead of faking."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        real = _has_soundfile()
         for pdf in batches:
-            if strict:
+            if strict and not real:
                 raise NotImplementedError(
                     "real audio decode requires soundfile/ffmpeg; "
                     "not available in this environment"
                 )
+            decode = _real_decode_audio if real else _fake_decode_audio
             rows = []
             for r in pdf.itertuples():
-                raw = np.frombuffer(bytes(r.payload), dtype=np.uint8)
-                samples = (raw.astype(np.float64) - 127.5) / 127.5
+                samples = decode(bytes(r.payload))
                 rms = float(np.sqrt(np.mean(samples**2)))
                 fp = hashlib.sha256(bytes(r.payload)).hexdigest()[:16]
                 rows.append((

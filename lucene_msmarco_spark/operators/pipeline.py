@@ -142,25 +142,38 @@ def minhash_lsh_pairs(
     )
 
 
+def derive_max_shingle_df(n_docs: int) -> int:
+    """Data-derived shingle-df cap for ``ngram_jaccard_pairs``: scales
+    with the corpus so the candidate join stays O(n · cap) instead of
+    quadratic in the hottest shingle's df, while small corpora keep the
+    50 the contract query was sized with."""
+    return max(50, int(n_docs) // 1000)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, shingle_n: int = 3, min_jaccard: float = 0.0,
     text_col: str = "text", id_col: str = "doc_id",
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | str | None = "auto",
 ) -> DataFrame:
     """Shingle-set Jaccard similarity for pairs sharing >= 1 shingle.
 
-    The default (``max_shingle_df=None``) is EXACT all-shingle Jaccard —
-    correct but quadratic in the df of the hottest shingle, so only safe
-    on small corpora. AT SCALE YOU MUST SET ``max_shingle_df``: it drops
-    shingles appearing in more than that many documents from the shingle
-    universe BEFORE the self-join (both the intersection and the set
-    sizes — a consistent "Jaccard over discriminative shingles"
-    semantic). One Zipf-head shingle ("of the and"-type 3-grams) makes
-    the self-join quadratic in its df and carries no near-dup signal.
-    The ``dedup_ngram_jaccard`` contract query uses 50 (sized to the
-    sf0.01 corpus); size the cap to your corpus.
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    documents from the shingle universe BEFORE the self-join (both the
+    intersection and the set sizes — a consistent "Jaccard over
+    discriminative shingles" semantic). One Zipf-head shingle ("of the
+    and"-type 3-grams) makes the self-join quadratic in its df and
+    carries no near-dup signal, so the DEFAULT is scale-safe:
+    ``"auto"`` derives the cap from the corpus size
+    (``derive_max_shingle_df`` — max(50, n_docs/1000); one count()
+    action). Pass an int to size the cap yourself, or ``None`` to OPT IN
+    to exact all-shingle Jaccard — correct but quadratic in the hottest
+    shingle's df, only safe on small corpora. The
+    ``dedup_ngram_jaccard`` contract query uses 50 (sized to the sf0.01
+    corpus, where auto also resolves to 50).
     """
     sh = shingles(docs, shingle_n, text_col, id_col)
+    if max_shingle_df == "auto":
+        max_shingle_df = derive_max_shingle_df(docs.count())
     if max_shingle_df is not None:
         keep = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df")).filter(
             F.col("_df") <= max_shingle_df
@@ -377,7 +390,12 @@ def ann_lsh_topk(
     sims = pairs.select(
         "qvec", "nvec", _cos(F.col("qemb"), F.col("nemb")).alias("sim")
     )
-    w = Window.partitionBy("qvec").orderBy(F.desc("sim"), F.asc("nvec"))
+    # rank on round(sim, 6) (tie nvec) — the SQL oracle's exact order, so
+    # two candidates agreeing to 6 decimals but differing in summation-
+    # order ulps cannot rank differently between operator and oracle
+    w = Window.partitionBy("qvec").orderBy(
+        F.desc(F.round("sim", 6)), F.asc("nvec")
+    )
     return (
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -529,12 +547,128 @@ def ann_ivf_topk(
     sims = pairs.select(
         "qvec", "nvec", _cos(F.col("qemb"), F.col("nemb")).alias("sim")
     )
-    w = Window.partitionBy("qvec").orderBy(F.desc("sim"), F.asc("nvec"))
+    # round(sim, 6) rank order mirrors the SQL oracle (see ann_lsh_topk)
+    w = Window.partitionBy("qvec").orderBy(
+        F.desc(F.round("sim", 6)), F.asc("nvec")
+    )
     return (
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qvec", "nvec", "rank", "sim")
     )
+
+
+def save_ivf_model(
+    spark, centroids: np.ndarray, path: str, seed: int = LSH_SEED,
+    extra_meta: dict | None = None,
+) -> dict:
+    """Persist a fitted IVF coarse quantizer alongside the index
+    artifact: a ``centroids/`` parquet table (list_id, centroid) — the
+    executor-shippable form — plus an ``_ivf_meta.json`` manifest row
+    (n_lists, dim, seed, generation) appended to ``_ivf_manifest.jsonl``
+    so refreshes are versioned like index generations
+    (streaming.SegmentedIndexWriter's manifest discipline). Returns the
+    manifest entry written."""
+    import json
+    import os
+    import time
+
+    C = np.asarray(centroids, dtype=np.float64)
+    rows = [(int(i), [float(x) for x in C[i]]) for i in range(C.shape[0])]
+    spark.createDataFrame(
+        rows, "list_id int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+    mpath = os.path.join(path, "_ivf_manifest.jsonl")
+    gen = 0
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            gen = sum(1 for ln in f if ln.strip())
+    entry = {
+        "generation": gen, "n_lists": int(C.shape[0]),
+        "dim": int(C.shape[1]), "seed": int(seed),
+        "written_at": time.time(), **(extra_meta or {}),
+    }
+    with open(mpath, "a") as f:
+        f.write(json.dumps(entry) + "\n")
+    return entry
+
+
+def load_ivf_model(spark, path: str) -> tuple[np.ndarray, dict]:
+    """Load a persisted IVF quantizer: (centroids (n_lists, d), latest
+    manifest entry). The centroid table is list_id-ordered so the array
+    layout round-trips exactly (``save -> load -> ann_ivf_topk`` must
+    reproduce the fitted quantizer's results bit-for-bit)."""
+    import json
+    import os
+
+    rows = (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("list_id").collect()
+    )
+    C = np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+    meta: dict = {}
+    mpath = os.path.join(path, "_ivf_manifest.jsonl")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            for ln in f:
+                if ln.strip():
+                    meta = json.loads(ln)
+    return C, meta
+
+
+def ivf_assignment_quality(
+    embeddings: DataFrame, centroids: np.ndarray,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> float:
+    """Mean best-list dot product over unit-normalized vectors — the
+    spherical k-means objective the fit maximizes. Dropping over time
+    means the corpus has drifted away from the fitted quantizer."""
+    C = np.asarray(centroids, dtype=np.float64)
+    assigned = ivf_assign(embeddings, C, 1, id_col, vec_col)
+    bc = embeddings.sparkSession.sparkContext.broadcast(C)
+
+    @F.pandas_udf("double")
+    def best_dot(vecs: pd.Series, lists: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        X = X / np.where(norms == 0, 1.0, norms)
+        sel = bc.value[lists.to_numpy().astype(np.int64)]
+        return pd.Series(np.einsum("ij,ij->i", X, sel))
+
+    row = assigned.select(
+        F.avg(best_dot(F.col(vec_col), F.col("list_id"))).alias("q")
+    ).collect()[0]
+    return float(row["q"] or 0.0)
+
+
+def refresh_ivf_model(
+    spark, path: str, embeddings: DataFrame,
+    min_quality_ratio: float = 0.98, n_lists: int | None = None,
+    seed: int | None = None, id_col: str = "vec_id",
+    vec_col: str = "embedding", **fit_kw,
+) -> tuple[np.ndarray, bool]:
+    """Drift-refresh entry point: measure the stored quantizer's
+    assignment quality on the CURRENT corpus; if it fell below
+    ``min_quality_ratio`` x the quality recorded at fit time, refit
+    (``fit_ivf_centroids``) and persist a new generation. Returns
+    (centroids in effect, whether a refresh happened). Quality at fit
+    time is recorded in the manifest by this function and by callers of
+    ``save_ivf_model(extra_meta={"quality": ...})``."""
+    C, meta = load_ivf_model(spark, path)
+    q_now = ivf_assignment_quality(embeddings, C, id_col, vec_col)
+    q_fit = float(meta.get("quality", q_now))
+    if q_fit > 0 and q_now >= min_quality_ratio * q_fit:
+        return C, False
+    nl = int(n_lists or meta.get("n_lists") or C.shape[0])
+    sd = int(seed if seed is not None else meta.get("seed", LSH_SEED))
+    C2 = fit_ivf_centroids(
+        embeddings, nl, seed=sd, id_col=id_col, vec_col=vec_col, **fit_kw
+    )
+    q2 = ivf_assignment_quality(embeddings, C2, id_col, vec_col)
+    save_ivf_model(spark, C2, path, seed=sd, extra_meta={"quality": q2})
+    return C2, True
 
 
 # ---------------------------------------------------------------------------

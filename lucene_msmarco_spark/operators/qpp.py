@@ -168,22 +168,54 @@ def _qid_seed(qid: str, sample: int, seed: int) -> np.random.Generator:
     )
 
 
+def _permutation(
+    qid: str, sample: int, seed: int, docs: np.ndarray, permute: str
+) -> np.ndarray:
+    """Seeded shuffle order of ``docs`` for one (qid, sample).
+
+    ``"rng"`` — numpy PCG64 permutation (the default everywhere).
+    ``"md5"`` — order by ``md5(f"{seed}:{sample}:{qid}:{doc_id}")``
+    (tie-broken by doc_id): the same seeded-shuffle semantics, but
+    computable in ANY SQL engine with ``md5`` — the form the
+    ``qpp_rsd`` contract query uses so the sampling machinery gets a
+    DuckDB value-level oracle (numpy's PCG stream is not
+    SQL-expressible)."""
+    n = len(docs)
+    if permute == "rng":
+        return _qid_seed(qid, sample, seed).permutation(n)
+    if permute == "md5":
+        import hashlib
+
+        keys = [
+            hashlib.md5(
+                f"{seed}:{sample}:{qid}:{int(d)}".encode()
+            ).hexdigest()
+            for d in docs
+        ]
+        return np.asarray(
+            sorted(range(n), key=lambda i: (keys[i], int(docs[i]))),
+            dtype=np.int64,
+        )
+    raise ValueError(f"unknown permute mode {permute!r}")
+
+
 def sampled_runs(
-    run: DataFrame, num_samples: int, sample_size: int, seed: int = SEED
+    run: DataFrame, num_samples: int, sample_size: int, seed: int = SEED,
+    permute: str = "rng",
 ) -> DataFrame:
     """Per (qid, sample): a seeded shuffle of the FULL run, truncated to
     min(sample_size, n), re-ranked 1..m in shuffle order, original scores
     kept (``UEFSpecificity.sampleTopDocs``). Output: (qid, sample,
-    doc_id, rank, score)."""
+    doc_id, rank, score). ``permute``: see ``_permutation``."""
 
     def one(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("rank")
         outs = []
         n = len(pdf)
         m = min(sample_size, n)
+        docs = pdf["doc_id"].to_numpy()
         for s in range(num_samples):
-            rng = _qid_seed(key[0], s, seed)
-            idx = rng.permutation(n)[:m]
+            idx = _permutation(key[0], s, seed, docs, permute)[:m]
             sub = pdf.iloc[idx].copy()
             sub["sample"] = s
             sub["rank"] = np.arange(1, m + 1)
@@ -245,8 +277,12 @@ def rsd(
     sample_size: int = 20,
     seed: int = SEED,
     p: float = 0.9,
+    permute: str = "rng",
 ) -> DataFrame:
-    """P6 -> (qid, rsd). base = NQC computed on each sample's scores."""
+    """P6 -> (qid, rsd). base = NQC computed on each sample's scores.
+    ``permute``: sampling order — ``"rng"`` (default) or the
+    SQL-expressible ``"md5"`` used by the ``qpp_rsd`` contract oracle
+    (see ``_permutation``)."""
     enriched = run.join(
         idf_stats.select("qid", "avgidf_nqc"), "qid", "left"
     )
@@ -260,8 +296,7 @@ def rsd(
         m = min(sample_size, n)
         acc = 0.0
         for s in range(num_samples):
-            rng = _qid_seed(key[0], s, seed)
-            idx = rng.permutation(n)[:m]
+            idx = _permutation(key[0], s, seed, docs, permute)[:m]
             s_scores = scores[idx][:k]
             est = float(np.var(s_scores)) * aidf if s_scores.size else 0.0
             sim = rbo(docs.tolist(), docs[idx].tolist(), k=n, p=p)

@@ -173,16 +173,38 @@ def test_incremental_ingest_and_merge(spark, tmp_path):
     # third run: nothing new
     assert ing.ingest_available() == 0
 
+    # default layout: doc-range SEGMENTED (shared code path with
+    # SegmentedIndexWriter.compact) — per-segment df rows + global gdf
     merged = ing.merge_segments()
+    assert "segment" in merged.columns and "gdf" in merged.columns
     toks = postings_to_tokens(merged)
     n_docs_seen = toks.select("doc_id").distinct().count()
     # docs whose text analyzed to zero tokens don't appear in postings
     assert 100 <= n_docs_seen <= 120
-    # df consistency on the merged table
-    chk = merged.select("term", "df").join(
-        toks.groupBy("term").agg(F.count(F.lit(1)).alias("df2")), "term"
-    ).filter(F.col("df") != F.col("df2"))
+    # df consistency on the merged table: per-segment dfs sum to the
+    # token-level df, and gdf equals that sum on every row
+    sums = merged.groupBy("term").agg(
+        F.sum("df").alias("df_sum"), F.first("gdf").alias("gdf1")
+    )
+    chk = sums.join(
+        toks.groupBy("term").agg(
+            F.count_distinct("doc_id").alias("df2")
+        ),
+        "term",
+    ).filter(
+        (F.col("df_sum") != F.col("df2")) | (F.col("gdf1") != F.col("df2"))
+    )
     assert chk.count() == 0
+
+    # legacy termwise layout still available (toy-scale path). NB the
+    # second merge OVERWRITES work/postings, so decode the termwise
+    # table itself (the earlier `toks` lazily reads the replaced files)
+    termwise = ing.merge_segments(layout="termwise")
+    toks2 = postings_to_tokens(termwise)
+    chk2 = termwise.select("term", "df").join(
+        toks2.groupBy("term").agg(F.count(F.lit(1)).alias("df2")), "term"
+    ).filter(F.col("df") != F.col("df2"))
+    assert chk2.count() == 0
 
 
 # ---------------------------------------------------------------------------
@@ -520,3 +542,110 @@ def test_stream_append_compacts_on_cadence(spark, tmp_path):
         _bmw_run(spark, w.load()),
         _bmw_run(spark, _full_rebuild(spark, pdf)),
     )
+
+
+# ---------------------------------------------------------------------------
+# tiered merge policy + gdf sidecar (self-maintaining writer)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_policy_tiering_is_size_aware():
+    """Tier binning: similar-sized generations share a tier; a merged
+    generation promotes to a higher tier and stops re-merging with
+    fresh small appends (the write-amplification guard)."""
+    from lucene_msmarco_spark.streaming.incremental import MergePolicy
+
+    p = MergePolicy(merge_factor=10)
+    assert p.tier_of(5) == p.tier_of(8)          # same small tier
+    assert p.tier_of(80) == p.tier_of(99)
+    assert p.tier_of(800) > p.tier_of(80) > p.tier_of(8)
+    assert p.tier_of(0) == p.tier_of(1)          # degenerate sizes safe
+
+
+def test_maybe_compact_merges_tiers_and_cascades(spark, tmp_path):
+    """Six equal appends under merge_factor=2 must fold like an LSM
+    tree — pairs merge, merged pairs merge again — and every compaction
+    entry must merge exactly merge_factor generations (never the whole
+    live set), with query results unchanged throughout."""
+    from lucene_msmarco_spark.streaming.incremental import MergePolicy
+
+    w, pdf, batches = _writer_fixture(spark, tmp_path, n=240, n_batches=6)
+    policy = MergePolicy(merge_factor=2)
+    for b in batches:
+        w.append(spark.createDataFrame(b))
+        w.maybe_compact(policy)
+    compacts = [e for e in w._entries() if e["op"] == "compact"]
+    assert compacts, "policy never triggered"
+    # tiered discipline: every merge folds exactly merge_factor gens
+    assert all(len(e["replaces"]) == 2 for e in compacts)
+    # 6 equal appends at mf=2 cascade 2+2->4, 2+2->4 is one tier up:
+    # at least one compaction merges two COMPACTION outputs
+    gen_by_id = {e["gen"]: e for e in w._entries()}
+    assert any(
+        all(gen_by_id[g]["op"] == "compact" for g in e["replaces"])
+        for e in compacts
+    ), "no cascade merge of merged generations"
+    # steady state holds fewer live gens than appends, never 1-per-batch
+    assert len(w.state()["live"]) <= 3
+    _assert_same_run(
+        _bmw_run(spark, w.load()),
+        _bmw_run(spark, _full_rebuild(spark, pdf)),
+    )
+
+
+def test_maybe_compact_noop_below_threshold(spark, tmp_path):
+    from lucene_msmarco_spark.streaming.incremental import MergePolicy
+
+    w, pdf, batches = _writer_fixture(spark, tmp_path)
+    w.append(spark.createDataFrame(batches[0]))
+    assert w.maybe_compact(MergePolicy(merge_factor=10)) == []
+    assert len(w.state()["live"]) == 1
+
+
+def test_load_gdf_from_sidecar_no_term_window(spark, tmp_path):
+    """The load path must NOT shuffle blob rows through a term window:
+    gdf comes from summing the per-generation sidecars (term-level
+    metadata) and joining. Pins both the plan shape and the values."""
+    w, pdf, batches = _writer_fixture(spark, tmp_path)
+    for b in batches:
+        w.append(spark.createDataFrame(b))
+    w.compact([0, 1])
+    compact = w.load()
+    plan = (
+        compact.postings._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan, plan
+    # sidecar gdf values == the window-computed truth
+    from pyspark.sql import Window as W
+
+    truth = (
+        spark.read.parquet(
+            *[w._gen_dir(e["gen"]) for e in w.state()["live"]]
+        )
+        .withColumn("gdf_w", F.sum("df").over(W.partitionBy("term")))
+        .select("term", "segment", "gdf_w")
+    )
+    joined = compact.postings.select("term", "segment", "gdf").join(
+        truth, ["term", "segment"]
+    )
+    assert joined.count() > 0
+    assert joined.filter(F.col("gdf") != F.col("gdf_w")).count() == 0
+
+
+def test_load_falls_back_to_window_for_old_manifests(spark, tmp_path):
+    """Manifests written before sidecars existed (no ``gdf`` flag) must
+    still load — via the legacy term window."""
+    w, pdf, batches = _writer_fixture(spark, tmp_path)
+    for b in batches[:2]:
+        w.append(spark.createDataFrame(b))
+    # simulate a pre-sidecar manifest: strip the gdf flag
+    entries = w._entries()
+    for e in entries:
+        e.pop("gdf", None)
+    with open(w.manifest_path, "w") as f:
+        for e in entries:
+            f.write(json.dumps(e) + "\n")
+    compact = w.load()
+    plan = compact.postings._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert compact.postings.count() > 0

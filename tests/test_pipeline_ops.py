@@ -327,3 +327,74 @@ def test_jaccard_df_cap_bounds_hot_shingle_join(spark):
     uncapped = P.ngram_jaccard_pairs(docs, max_shingle_df=None)
     n_uncapped = uncapped.count()
     assert n_uncapped > 700  # 40*39/2 hot pairs + the dup pair
+
+
+def test_jaccard_auto_cap_default_is_scale_safe(spark):
+    """The DEFAULT (max_shingle_df="auto") must bound the candidate join
+    on a hot-shingle corpus: 60 docs sharing one 3-gram (df 60 > the
+    auto cap of 50) produce NO hot-shingle pairs — only the true
+    near-dup pair survives. Exact mode stays opt-in via None."""
+    hot = "the common phrase"
+    rows = [
+        (i, f"{hot} uniq{i}a uniq{i}b uniq{i}c uniq{i}d uniq{i}e")
+        for i in range(60)
+    ]
+    dup = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+           "lambda mu")
+    rows += [(1000, dup), (1001, dup + " extraword")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.doc_a, r.doc_b)
+             for r in P.ngram_jaccard_pairs(docs).collect()}
+    assert pairs == {(1000, 1001)}
+    assert P.derive_max_shingle_df(62) == 50
+    assert P.derive_max_shingle_df(10_000_000) == 10_000
+
+
+# ---------------------------------------------------------------------------
+# IVF model persistence + drift refresh
+# ---------------------------------------------------------------------------
+
+def test_ivf_model_save_load_roundtrip(spark, embeddings, tmp_path):
+    """save -> load must reproduce the fitted quantizer bit-for-bit, and
+    ann_ivf_topk off the LOADED centroids must equal the run off the
+    fitted ones exactly."""
+    path = str(tmp_path / "ivf")
+    C = P.fit_ivf_centroids(embeddings, n_lists=16)
+    q0 = P.ivf_assignment_quality(embeddings, C)
+    entry = P.save_ivf_model(spark, C, path, extra_meta={"quality": q0})
+    assert entry["n_lists"] == 16 and entry["dim"] == 64
+    C2, meta = P.load_ivf_model(spark, path)
+    assert np.array_equal(C, C2)
+    assert meta["generation"] == 0 and meta["quality"] == q0
+    a = P.ann_ivf_topk(
+        embeddings, k=5, centroids=C, query_filter=F.col("qvec") < 10
+    ).orderBy("qvec", "rank").toPandas()
+    b = P.ann_ivf_topk(
+        embeddings, k=5, centroids=C2, query_filter=F.col("qvec") < 10
+    ).orderBy("qvec", "rank").toPandas()
+    assert a["nvec"].tolist() == b["nvec"].tolist()
+    assert np.allclose(a["sim"], b["sim"])
+
+
+def test_ivf_refresh_noop_without_drift_and_refits_on_drift(
+    spark, embeddings, tmp_path
+):
+    path = str(tmp_path / "ivf")
+    C = P.fit_ivf_centroids(embeddings, n_lists=16)
+    q0 = P.ivf_assignment_quality(embeddings, C)
+    P.save_ivf_model(spark, C, path, extra_meta={"quality": q0})
+    # same corpus: quality unchanged -> no refresh
+    got, refreshed = P.refresh_ivf_model(spark, path, embeddings)
+    assert not refreshed and np.array_equal(got, C)
+    # simulate drift: persist a DETUNED quantizer claiming high quality;
+    # the measured quality on the real corpus falls below the ratio
+    bad = P.ivf_centroids(64, 16, seed=999)
+    P.save_ivf_model(spark, bad, path, extra_meta={"quality": 0.99})
+    got2, refreshed2 = P.refresh_ivf_model(spark, path, embeddings)
+    assert refreshed2
+    # the refit must be the deterministic spherical-kmeans result
+    assert np.array_equal(got2, P.fit_ivf_centroids(embeddings, 16))
+    # and the new generation is on disk with its measured quality
+    C3, meta = P.load_ivf_model(spark, path)
+    assert np.array_equal(C3, got2)
+    assert meta["generation"] >= 2 and "quality" in meta
