@@ -237,10 +237,12 @@ def uef(
     num_samples: int = 10,
     sample_size: int | None = None,
     seed: int = SEED,
+    permute: str = "rng",
 ) -> DataFrame:
-    """P5 -> (qid, uef). ``base``: (qid, <base_col>) estimates."""
+    """P5 -> (qid, uef). ``base``: (qid, <base_col>) estimates.
+    ``permute``: sampling order (see ``_permutation``)."""
     sample_size = sample_size or cfg.feedback.num_top_docs
-    samp = sampled_runs(run, num_samples, sample_size, seed)
+    samp = sampled_runs(run, num_samples, sample_size, seed, permute)
     srun = samp.select(
         composite_qid().alias("qid"), "doc_id", "rank", "score"
     )

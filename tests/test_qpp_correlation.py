@@ -306,3 +306,48 @@ def test_attribute_swapper(spark, filled):
     ).toPandas()
     for _, g in out.groupby("sample"):
         assert sorted(g["doc_id"].tolist()) == [11, 12, 13, 14, 15]
+
+
+def test_md5_permutation_is_valid_and_sql_equivalent():
+    """The SQL-expressible sampling order (_permutation 'md5') must be a
+    real permutation, deterministic, seed/sample-sensitive, and equal to
+    its definition: order by md5(f"{seed}:{s}:{qid}:{doc}") then doc —
+    the construction the qpp_rsd contract oracle inlines."""
+    import hashlib
+
+    docs = np.array([7, 3, 99, 42, 5, 11, 8], dtype=np.int64)
+    p0 = Q._permutation("q1", 0, Q.SEED, docs, "md5")
+    assert sorted(p0.tolist()) == list(range(len(docs)))
+    assert np.array_equal(p0, Q._permutation("q1", 0, Q.SEED, docs, "md5"))
+    assert not np.array_equal(
+        p0, Q._permutation("q1", 1, Q.SEED, docs, "md5")
+    )
+    assert not np.array_equal(
+        p0, Q._permutation("q2", 0, Q.SEED, docs, "md5")
+    )
+    expect = sorted(
+        range(len(docs)),
+        key=lambda i: (
+            hashlib.md5(
+                f"{Q.SEED}:0:q1:{int(docs[i])}".encode()
+            ).hexdigest(),
+            int(docs[i]),
+        ),
+    )
+    assert p0.tolist() == expect
+    with pytest.raises(ValueError):
+        Q._permutation("q1", 0, Q.SEED, docs, "fisher-yates")
+
+
+def test_rsd_md5_mode_deterministic(ctx):
+    idx, qdf, run, qt, idf = ctx
+    a = {r["qid"]: r["rsd"]
+         for r in Q.rsd(run, idf, k=50, permute="md5").collect()}
+    b = {r["qid"]: r["rsd"]
+         for r in Q.rsd(run, idf, k=50, permute="md5").collect()}
+    assert a == b
+    assert all(v >= 0 for v in a.values())
+    # a different sampling order gives a different (but same-sign)
+    # estimate — the two modes share everything except the shuffle
+    rng = {r["qid"]: r["rsd"] for r in Q.rsd(run, idf, k=50).collect()}
+    assert set(rng) == set(a)
