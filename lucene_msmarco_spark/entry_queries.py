@@ -577,6 +577,77 @@ SELECT qa.qid,
                  THEN ln(CAST(g.n_docs AS DOUBLE) / qa.df) END), 0), 4)
          AS maxidf
 FROM qa CROSS JOIN g GROUP BY qa.qid ORDER BY qa.qid"""
+    if name == "qpp_uef":
+        # P5 UEF (qpp/UEFSpecificity.java:29-82) with the SQL-expressible
+        # md5 seeded shuffle (operators/qpp._permutation "md5"): 10
+        # samples per query, each = the top-100 run permuted by
+        # md5('314152:s:qid:doc_id') truncated to min(20, n); per sample
+        # the RM-conditional/KL rerank is computed by the operator but
+        # CANCELS OUT of the value — rank_distance (C9,
+        # correlation/RankDistanceBasedRBO quirk) reads B's position in
+        # SORTED-BY-DOC-ID order, and kl_div_rerank preserves the
+        # sample's membership exactly — so the oracle needs only the
+        # sampled doc set. uef = num_samples / Σ_s rank_dist(orig,
+        # sample_s) × NQC (var_pop(top-50 scores) × avgidf_nqc, OOV
+        # df -> 1). The RM/KL values themselves stay pinned by the
+        # english-golden pytest rows (F3/F4); this row value-verifies
+        # the seeded sampling, the rank-distance quirk, and the NQC
+        # composition end-to-end.
+        str_s = D["STR"]("t.s")
+        str_doc = D["STR"]("r.doc_id")
+        samples = ", ".join(f"({s})" for s in range(10))
+        return base + f""",
+run AS (SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 100),
+nq AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n FROM run GROUP BY qid),
+samples AS (SELECT s FROM (VALUES {samples}) AS t(s)),
+perm AS (
+  SELECT r.qid, t.s, r.doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY r.qid, t.s
+           ORDER BY md5('314152:' || {str_s} || ':' || r.qid || ':'
+                        || {str_doc}), r.doc_id
+         ) AS INT) AS srank
+  FROM run r CROSS JOIN samples t
+),
+samp AS (
+  SELECT p.qid, p.s, p.doc_id
+  FROM perm p JOIN nq ON p.qid = nq.qid
+  WHERE p.srank <= LEAST(20, nq.n)
+),
+posb AS (
+  SELECT qid, s, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY qid, s ORDER BY doc_id
+         ) AS INT) - 1 AS pos_b
+  FROM samp
+),
+rd AS (
+  SELECT r.qid, p.s,
+         sqrt(SUM(POWER(
+           CAST(r.rank - 1 - p.pos_b AS DOUBLE) / nq.n, 2
+         )) / nq.n) AS rank_dist
+  FROM run r
+  JOIN posb p ON r.qid = p.qid AND r.doc_id = p.doc_id
+  JOIN nq ON r.qid = nq.qid
+  GROUP BY r.qid, p.s, nq.n
+),
+sumrd AS (SELECT qid, SUM(rank_dist) AS sum_rd FROM rd GROUP BY qid),
+nqcv AS (
+  SELECT qid, var_pop(score) AS v FROM run WHERE rank <= 50 GROUP BY qid
+),
+aidf AS (
+  SELECT q.qid,
+         AVG(ln(CAST(g.n_docs AS DOUBLE)
+                / GREATEST(COALESCE(s.df, 0), 1))) AS aidf
+  FROM qterms q LEFT JOIN tstats s ON q.term = s.term CROSS JOIN g
+  GROUP BY q.qid
+)
+SELECT sr.qid,
+       round(10.0 / sr.sum_rd * COALESCE(n.v, 0) * a.aidf, 4) AS uef
+FROM sumrd sr
+JOIN aidf a ON sr.qid = a.qid
+LEFT JOIN nqcv n ON sr.qid = n.qid
+ORDER BY sr.qid"""
     if name == "qpp_rsd":
         # P6 RSD (qpp/RSDSpecificity.java:23-51) with the SQL-expressible
         # md5 seeded shuffle (operators/qpp._permutation "md5" — the SAME
@@ -1097,12 +1168,55 @@ def _qpp_rsd_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid")
 
 
+def _qpp_uef_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded-sampling QPP contract #2 (P5 UEF, ``qpp/UEFSpecificity.
+    java:29-82``): run the REAL operator chain — simple-analyzer index
+    -> segmented Block-Max top-100 (rank_round=4) -> ``qpp.nqc`` base
+    estimate -> ``qpp.uef`` with the md5 permutation, which internally
+    executes the full reference pipeline (sampled runs ->
+    ``top_docs_term_stats`` -> ``rm_conditional_weights`` ->
+    ``kl_div_rerank`` -> ``rank_distance_df``) — against the reduced
+    SQL twin in ``build_sql("qpp_uef")`` (reduction rationale there:
+    the KL rerank preserves sample membership, and the C9
+    sorted-by-doc-id quirk makes rank_distance read membership only,
+    so the rerank scores cancel out of the value). A bug anywhere in
+    the chain that perturbs sampling, membership, rank_distance, or
+    the NQC base flips this row."""
+    from pyspark.sql import functions as F
+
+    from .operators.index import build_index
+    from .operators.postings import CompactIndex, bmw_search
+    from .operators.qpp import nqc, query_idf_stats, uef
+    from .operators.retrieval import compile_queries
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = build_index(docs, analyzer="simple", cache=False)
+    compact = CompactIndex.from_index(idx, n_segments=4)
+    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
+    qt = compile_queries(qdf, "simple")
+    run = bmw_search(compact, qt, k=100, rank_round=4).select(
+        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
+    )
+    stats = query_idf_stats(qt, idx.term_stats, idx.stats.n_docs)
+    base = nqc(run, stats, k=50)
+    out = uef(
+        idx, run, base, "nqc", num_samples=10, sample_size=20,
+        permute="md5",
+    )
+    return out.select(
+        "qid", F.round("uef", 4).alias("uef")
+    ).orderBy("qid")
+
+
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {n: make_spark_query(n) for n in QUERY_NAMES}
     out["bmw_topk"] = _bmw_topk_query
     out["incremental_topk"] = _incremental_topk_query
     out["dedup_embedding"] = _dedup_embedding_query
     out["qpp_rsd"] = _qpp_rsd_query
+    out["qpp_uef"] = _qpp_uef_query
     return out
 
 
@@ -1116,4 +1230,7 @@ def duckdb_oracles() -> dict[str, str]:
     out["dedup_embedding"] = build_sql("dedup_embedding", "duckdb")
     # the seeded-sampling QPP operator chain vs its md5-permutation twin
     out["qpp_rsd"] = build_sql("qpp_rsd", "duckdb")
+    # the full UEF pipeline (sampling -> RM/KL rerank -> rank distance
+    # -> NQC composition) vs its reduced md5-permutation twin
+    out["qpp_uef"] = build_sql("qpp_uef", "duckdb")
     return out
