@@ -577,6 +577,65 @@ SELECT qa.qid,
                  THEN ln(CAST(g.n_docs AS DOUBLE) / qa.df) END), 0), 4)
          AS maxidf
 FROM qa CROSS JOIN g GROUP BY qa.qid ORDER BY qa.qid"""
+    if name == "fdbk_kl_rerank":
+        # F1+F3+F4 (fdbk/RelevanceModelConditional.java:30-55,
+        # fdbk/KLDivReranker.java:29-55): RM-conditional term weights
+        # over the top-20 of the BM25 top-100 — per (doc, term):
+        # (λ·tf/doclen + (1-λ)·df_top/20)·sim/sum_sim, λ=0.9
+        # (Constants.java:38), sim = retrieval score, sum_sim summed
+        # once per (doc, DISTINCT term) row [reference quirk] — then
+        # every retrieved doc rescored by 1 - exp(Σ_t wt·ln(wt/p_d(t)))
+        # over the doc's terms that have weights, p_d = tf/doclen.
+        # Ranked on round(score, 6) with previous-rank tie-break (the
+        # bmw_topk rank_round device) so the ordering is exact under a
+        # rounded total order. This value-level-verifies the RM/KL
+        # chain that the qpp_uef reduction deliberately cancels out.
+        return base + """,
+run AS (SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 100),
+dv AS (
+  SELECT r.qid, r.doc_id, r.rank, r.score AS sim, t.term, t.tf, ds.doclen
+  FROM run r
+  JOIN tf t ON r.doc_id = t.doc_id
+  JOIN dstats ds ON r.doc_id = ds.doc_id
+),
+tstop AS (
+  SELECT qid, term, CAST(COUNT(*) AS BIGINT) AS df_top
+  FROM dv WHERE rank <= 20 GROUP BY qid, term
+),
+sums AS (
+  SELECT qid, SUM(sim) AS sum_sim FROM dv WHERE rank <= 20 GROUP BY qid
+),
+wts AS (
+  SELECT d.qid, d.term,
+         SUM((0.9 * d.tf / d.doclen + (1.0 - 0.9) * ts.df_top / 20.0)
+             * d.sim / s.sum_sim) AS wt
+  FROM dv d
+  JOIN tstop ts ON d.qid = ts.qid AND d.term = ts.term
+  JOIN sums s ON d.qid = s.qid
+  WHERE d.rank <= 20
+  GROUP BY d.qid, d.term
+),
+kl AS (
+  SELECT d.qid, d.doc_id,
+         SUM(w.wt * ln(w.wt / (CAST(d.tf AS DOUBLE) / d.doclen))) AS kl
+  FROM dv d JOIN wts w ON d.qid = w.qid AND d.term = w.term
+  GROUP BY d.qid, d.doc_id
+),
+rescored AS (
+  SELECT r.qid, r.doc_id, r.rank AS prev_rank,
+         1.0 - exp(COALESCE(k.kl, 0.0)) AS score
+  FROM run r LEFT JOIN kl k ON r.qid = k.qid AND r.doc_id = k.doc_id
+),
+rr AS (
+  SELECT qid, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, prev_rank ASC
+         ) AS INT) AS rank,
+         round(score, 4) AS score
+  FROM rescored
+)
+SELECT qid, doc_id, rank, score FROM rr WHERE rank <= 10
+ORDER BY qid, rank"""
     if name == "qpp_uef":
         # P5 UEF (qpp/UEFSpecificity.java:29-82) with the SQL-expressible
         # md5 seeded shuffle (operators/qpp._permutation "md5"): 10
@@ -1210,6 +1269,47 @@ def _qpp_uef_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid")
 
 
+def _fdbk_kl_rerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feedback-chain contract (F1 ``top_docs_term_stats`` + F3
+    ``rm_conditional_weights`` + F4 ``kl_div_rerank``, reference
+    ``fdbk/RelevanceModelConditional.java:30-55`` +
+    ``fdbk/KLDivReranker.java:29-55``): run the REAL DataFrame
+    operators over the Block-Max top-100 and compare value-level
+    against the dual-dialect SQL twin in
+    ``build_sql("fdbk_kl_rerank")``. Complements ``qpp_uef``, whose
+    oracle reduction deliberately cancels these values out — between
+    the two rows the full UEF pipeline is value-verified end-to-end.
+    ``rank_round=6`` on both sides (the ``bmw_topk`` device) so the
+    rerank ordering is exact under a rounded total order."""
+    from pyspark.sql import functions as F
+
+    from .operators.feedback import (
+        kl_div_rerank,
+        rm_conditional_weights,
+        top_docs_term_stats,
+    )
+    from .operators.index import build_index
+    from .operators.postings import CompactIndex, bmw_search
+    from .operators.retrieval import compile_queries
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = build_index(docs, analyzer="simple", cache=False)
+    compact = CompactIndex.from_index(idx, n_segments=4)
+    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
+    qt = compile_queries(qdf, "simple")
+    run = bmw_search(compact, qt, k=100, rank_round=4).select(
+        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
+    )
+    stats = top_docs_term_stats(idx, run, num_top_docs=20)
+    wts = rm_conditional_weights(stats)
+    reranked = kl_div_rerank(stats, wts, run, rank_round=6)
+    return reranked.filter(F.col("rank") <= 10).select(
+        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
+    ).orderBy("qid", "rank")
+
+
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {n: make_spark_query(n) for n in QUERY_NAMES}
     out["bmw_topk"] = _bmw_topk_query
@@ -1217,6 +1317,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_embedding"] = _dedup_embedding_query
     out["qpp_rsd"] = _qpp_rsd_query
     out["qpp_uef"] = _qpp_uef_query
+    out["fdbk_kl_rerank"] = _fdbk_kl_rerank_query
     return out
 
 
@@ -1233,4 +1334,7 @@ def duckdb_oracles() -> dict[str, str]:
     # the full UEF pipeline (sampling -> RM/KL rerank -> rank distance
     # -> NQC composition) vs its reduced md5-permutation twin
     out["qpp_uef"] = build_sql("qpp_uef", "duckdb")
+    # the RM-conditional/KL-rerank operators vs the full SQL rendering
+    # of the reference formulas (the values qpp_uef's reduction cancels)
+    out["fdbk_kl_rerank"] = build_sql("fdbk_kl_rerank", "duckdb")
     return out

@@ -133,10 +133,19 @@ def rm_conditional_weights(
 
 
 def kl_div_rerank(
-    stats: TopDocsTermStats, term_weights: DataFrame, run: DataFrame
+    stats: TopDocsTermStats, term_weights: DataFrame, run: DataFrame,
+    rank_round: int | None = None,
 ) -> DataFrame:
     """F4 — rerank ALL retrieved docs by 1 - exp(KL); returns
-    (qid, doc_id, rank, score)."""
+    (qid, doc_id, rank, score).
+
+    ``rank_round``: when set, ranks on ``round(score, rank_round)``
+    (prev_rank tie-break) so the ordering is exact under a
+    rounded-score total order — the same contract-query device as
+    ``bmw_topk``'s ``rank_round`` (sub-ulp libm differences between
+    engines cannot flip ranks). Default ``None`` keeps the raw-score
+    ordering (the reference's own comparator,
+    ``fdbk/KLDivReranker.java``)."""
     joined = stats.doc_vecs.join(term_weights, ["qid", "term"])
     kl_term = F.col("wt") * F.log(
         F.col("wt") / (F.col("tf").cast("double") / F.col("doclen"))
@@ -150,8 +159,12 @@ def kl_div_rerank(
             F.lit(1.0) - F.exp(F.coalesce(F.col("kl"), F.lit(0.0))),
         )
     )
+    sort_key = (
+        F.round(F.col("score"), rank_round)
+        if rank_round is not None else F.col("score")
+    )
     w = Window.partitionBy("qid").orderBy(
-        F.col("score").desc(), F.col("prev_rank").asc()
+        sort_key.desc(), F.col("prev_rank").asc()
     )
     return rescored.select(
         "qid", "doc_id",
