@@ -636,6 +636,109 @@ rr AS (
 )
 SELECT qid, doc_id, rank, score FROM rr WHERE rank <= 10
 ORDER BY qid, rank"""
+    if name == "fdbk_rm1_expand":
+        # F2+F5 (fdbk/RelevanceModelIId.java:66-175): RM1 i.i.d. term
+        # weights over the top-20 of the BM25 top-100 — wt(term) =
+        # (λ·tf_top/sum_tf + (1-λ)·df_top/20)·exp(K(q) - 1), K(q) =
+        # Σ_{q-terms in top-docs vocab} ln(1 + tf_top/sum_tf) — then
+        # RLM expansion: wt ×= ln(N/df_collection), normalized over the
+        # whole per-query vocab; top-20 NON-query terms by normalized
+        # weight (round-6 total order, term tie-break) carry weight
+        # fb·wtn (fb = 0.2, Constants.java:45), original query terms
+        # carry 1 - fb. This is the reference's most-hit feedback path.
+        return base + """,
+run AS (SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 100),
+dv AS (
+  SELECT r.qid, r.doc_id, r.rank, t.term, t.tf
+  FROM run r JOIN tf t ON r.doc_id = t.doc_id
+),
+tstop AS (
+  SELECT qid, term, SUM(tf) AS tf_top, CAST(COUNT(*) AS BIGINT) AS df_top
+  FROM dv WHERE rank <= 20 GROUP BY qid, term
+),
+sums AS (
+  SELECT qid, SUM(tf) AS sum_tf FROM dv WHERE rank <= 20 GROUP BY qid
+),
+kq AS (
+  SELECT q.qid, SUM(ln(1.0 + ts.tf_top / s.sum_tf)) AS total_p_q
+  FROM qterms q
+  JOIN tstop ts ON q.qid = ts.qid AND q.term = ts.term
+  JOIN sums s ON q.qid = s.qid
+  GROUP BY q.qid
+),
+w1 AS (
+  SELECT ts.qid, ts.term,
+         (0.9 * ts.tf_top / s.sum_tf + (1.0 - 0.9) * ts.df_top / 20.0)
+           * exp(COALESCE(k.total_p_q, 0.0) - 1.0) AS wt
+  FROM tstop ts
+  JOIN sums s ON ts.qid = s.qid
+  LEFT JOIN kq k ON ts.qid = k.qid
+),
+w2 AS (
+  SELECT w.qid, w.term,
+         w.wt * ln(CAST(g.n_docs AS DOUBLE) / t.df) AS wt2
+  FROM w1 w JOIN tstats t ON w.term = t.term CROSS JOIN g
+),
+norm AS (SELECT qid, SUM(wt2) AS z FROM w2 GROUP BY qid),
+wn AS (
+  SELECT w.qid, w.term, w.wt2 / n.z AS wtn
+  FROM w2 w JOIN norm n ON w.qid = n.qid
+),
+cand AS (
+  SELECT wn.qid, wn.term, wn.wtn,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY wn.qid
+           ORDER BY round(wn.wtn, 6) DESC, wn.term ASC
+         ) AS INT) AS r
+  FROM wn
+  WHERE NOT EXISTS (
+    SELECT 1 FROM qterms q WHERE q.qid = wn.qid AND q.term = wn.term
+  )
+),
+expanded AS (
+  SELECT qid, term, CAST(1.0 AS DOUBLE) AS qtf, 0.2 * wtn AS weight
+  FROM cand WHERE r <= 20
+  UNION ALL
+  SELECT DISTINCT qid, term, CAST(1.0 AS DOUBLE) AS qtf,
+         CAST(1.0 AS DOUBLE) - 0.2 AS weight
+  FROM qterms
+)
+SELECT qid, term, qtf, round(weight, 6) AS weight
+FROM expanded ORDER BY qid, term"""
+    if name == "qpp_cumnqc":
+        # P2 CumulativeNQC (qpp/CumulativeNQC.java): mean over prefix
+        # depths i = 1..k-1 of var_pop(top-min(i,n) scores), times
+        # avgidf_nqc (OOV df -> 1); the i > n depths all reuse the full
+        # prefix's variance (the min(i, n) clamp), hence the mult
+        # weighting on the last in-range prefix. k = 50.
+        return base + """,
+run AS (SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 50),
+cum AS (
+  SELECT qid, rank,
+         SUM(score) OVER (PARTITION BY qid ORDER BY rank) AS s1,
+         SUM(score * score) OVER (PARTITION BY qid ORDER BY rank) AS s2,
+         COUNT(*) OVER (PARTITION BY qid ORDER BY rank) AS i
+  FROM run
+),
+nq AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n FROM run GROUP BY qid),
+pp AS (
+  SELECT c.qid,
+         c.s2 / c.i - POWER(c.s1 / c.i, 2) AS var_i,
+         CASE WHEN c.i < nq.n THEN 1.0
+              ELSE 49.0 - nq.n + 1.0 END AS mult
+  FROM cum c JOIN nq ON c.qid = nq.qid
+  WHERE c.i <= 49
+),
+cv AS (SELECT qid, SUM(var_i * mult) / 50.0 AS cv FROM pp GROUP BY qid),
+aidf AS (
+  SELECT q.qid,
+         AVG(ln(CAST(g.n_docs AS DOUBLE)
+                / GREATEST(COALESCE(s.df, 0), 1))) AS aidf
+  FROM qterms q LEFT JOIN tstats s ON q.term = s.term CROSS JOIN g
+  GROUP BY q.qid
+)
+SELECT c.qid, round(c.cv * a.aidf, 6) AS cumnqc
+FROM cv c JOIN aidf a ON c.qid = a.qid ORDER BY c.qid"""
     if name == "qpp_uef":
         # P5 UEF (qpp/UEFSpecificity.java:29-82) with the SQL-expressible
         # md5 seeded shuffle (operators/qpp._permutation "md5"): 10
@@ -1310,6 +1413,73 @@ def _fdbk_kl_rerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rank")
 
 
+def _fdbk_rm1_expand_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM1/RLM-expansion contract (F2 ``rm1_iid_weights`` + F5
+    ``rlm_expand_query``, reference ``fdbk/RelevanceModelIId.java:
+    66-175`` — the most-hit feedback path): run the REAL operators over
+    the Block-Max top-100 and compare the weighted expanded-query table
+    value-level against the SQL twin in
+    ``build_sql("fdbk_rm1_expand")``. ``rank_round=6`` on the
+    expansion cutoff on both sides so the top-20 membership is exact
+    under a rounded total order."""
+    from pyspark.sql import functions as F
+
+    from .operators.feedback import (
+        rlm_expand_query,
+        rm1_iid_weights,
+        top_docs_term_stats,
+    )
+    from .operators.index import build_index
+    from .operators.postings import CompactIndex, bmw_search
+    from .operators.retrieval import compile_queries
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = build_index(docs, analyzer="simple", cache=False)
+    compact = CompactIndex.from_index(idx, n_segments=4)
+    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
+    qt = compile_queries(qdf, "simple")
+    run = bmw_search(compact, qt, k=100, rank_round=4).select(
+        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
+    )
+    stats = top_docs_term_stats(idx, run, num_top_docs=20)
+    wts = rm1_iid_weights(stats, qt)
+    expanded = rlm_expand_query(idx, stats, wts, qt, rank_round=6)
+    return expanded.select(
+        "qid", "term", "qtf", F.round("weight", 6).alias("weight")
+    ).orderBy("qid", "term")
+
+
+def _qpp_cumnqc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 CumulativeNQC contract (``qpp/CumulativeNQC.java``): the real
+    prefix-variance window operator over the Block-Max top-50 vs the
+    SQL twin in ``build_sql("qpp_cumnqc")`` (min(i, n) clamp rendered
+    as the mult weighting on the last in-range prefix)."""
+    from pyspark.sql import functions as F
+
+    from .operators.index import build_index
+    from .operators.postings import CompactIndex, bmw_search
+    from .operators.qpp import cumulative_nqc, query_idf_stats
+    from .operators.retrieval import compile_queries
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = build_index(docs, analyzer="simple", cache=False)
+    compact = CompactIndex.from_index(idx, n_segments=4)
+    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
+    qt = compile_queries(qdf, "simple")
+    run = bmw_search(compact, qt, k=100, rank_round=4).select(
+        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
+    )
+    stats = query_idf_stats(qt, idx.term_stats, idx.stats.n_docs)
+    out = cumulative_nqc(run, stats, k=50)
+    return out.select(
+        "qid", F.round("cumnqc", 6).alias("cumnqc")
+    ).orderBy("qid")
+
+
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {n: make_spark_query(n) for n in QUERY_NAMES}
     out["bmw_topk"] = _bmw_topk_query
@@ -1318,6 +1488,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["qpp_rsd"] = _qpp_rsd_query
     out["qpp_uef"] = _qpp_uef_query
     out["fdbk_kl_rerank"] = _fdbk_kl_rerank_query
+    out["fdbk_rm1_expand"] = _fdbk_rm1_expand_query
+    out["qpp_cumnqc"] = _qpp_cumnqc_query
     return out
 
 
@@ -1337,4 +1509,8 @@ def duckdb_oracles() -> dict[str, str]:
     # the RM-conditional/KL-rerank operators vs the full SQL rendering
     # of the reference formulas (the values qpp_uef's reduction cancels)
     out["fdbk_kl_rerank"] = build_sql("fdbk_kl_rerank", "duckdb")
+    # RM1 i.i.d. + RLM expansion (the most-hit feedback path) and the
+    # prefix-variance CumulativeNQC, each vs a full SQL rendering
+    out["fdbk_rm1_expand"] = build_sql("fdbk_rm1_expand", "duckdb")
+    out["qpp_cumnqc"] = build_sql("qpp_cumnqc", "duckdb")
     return out

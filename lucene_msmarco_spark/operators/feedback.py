@@ -179,8 +179,16 @@ def rlm_expand_query(
     term_weights: DataFrame,
     query_terms: DataFrame,
     cfg: FeedbackConfig = FeedbackConfig(),
+    rank_round: int | None = None,
 ) -> DataFrame:
-    """F5 -> weighted query-term table (qid, term, qtf=1, weight)."""
+    """F5 -> weighted query-term table (qid, term, qtf=1, weight).
+
+    ``rank_round``: when set, the top-``num_expansion_terms`` cutoff
+    ranks candidates on ``round(wtn, rank_round)`` (term tie-break) —
+    the contract-query device (see ``kl_div_rerank``) making the
+    expansion-set membership exact under a rounded total order.
+    Default ``None`` keeps the raw-weight ordering
+    (``fdbk/RelevanceModelIId.java:156-175``)."""
     fb = cfg.fb_weight
     # wt *= ln(N / df_collection); normalize over the whole vocab
     w = term_weights.join(
@@ -194,8 +202,12 @@ def rlm_expand_query(
 
     orig = query_terms.select("qid", "term").distinct()
     candidates = w.join(orig, ["qid", "term"], "left_anti")
+    wtn_key = (
+        F.round(F.col("wtn"), rank_round)
+        if rank_round is not None else F.col("wtn")
+    )
     rank_w = Window.partitionBy("qid").orderBy(
-        F.col("wtn").desc(), F.col("term").asc()
+        wtn_key.desc(), F.col("term").asc()
     )
     expansion = (
         candidates.withColumn("r", F.row_number().over(rank_w))
