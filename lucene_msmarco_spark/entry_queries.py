@@ -705,6 +705,64 @@ expanded AS (
 )
 SELECT qid, term, qtf, round(weight, 6) AS weight
 FROM expanded ORDER BY qid, term"""
+    if name == "qpp_eval_corr":
+        # H1 QPP-evaluation harness (qpp_eval/* drivers; correlation
+        # kernels utils/TauCorrelation.java / commons-math3): per-query
+        # AP (E1, the eval_metrics machinery, rounded 4) correlated
+        # with the NQC estimate (P1, rounded 6) across the query set —
+        # Kendall tau-b (ties-corrected, the commons-math3 formula),
+        # Pearson r, and Spearman rho (Pearson on tie-mean average
+        # ranks). One row: the collection-level correlation triple.
+        return (
+            base + "," + QRELS_CTE + "," + EVAL_BODY + """,
+nqcv AS (
+  SELECT qid, var_pop(score) AS v FROM run WHERE rank <= 50 GROUP BY qid
+),
+aidf AS (
+  SELECT q.qid,
+         AVG(ln(CAST(g.n_docs AS DOUBLE)
+                / GREATEST(COALESCE(s.df, 0), 1))) AS aidf
+  FROM qterms q LEFT JOIN tstats s ON q.term = s.term CROSS JOIN g
+  GROUP BY q.qid
+),
+m AS (
+  SELECT p.qid, p.ap AS x,
+         round(COALESCE(nv.v, 0) * ai.aidf, 6) AS y
+  FROM permetrics p
+  JOIN aidf ai ON p.qid = ai.qid
+  LEFT JOIN nqcv nv ON p.qid = nv.qid
+),
+pr AS (
+  SELECT SIGN(a.x - b.x) AS dx, SIGN(a.y - b.y) AS dy
+  FROM m a JOIN m b ON a.qid < b.qid
+),
+tb AS (
+  SELECT SUM(CASE WHEN dx * dy > 0 THEN CAST(1 AS DOUBLE) ELSE 0 END)
+           AS conc,
+         SUM(CASE WHEN dx * dy < 0 THEN CAST(1 AS DOUBLE) ELSE 0 END)
+           AS disc,
+         SUM(CASE WHEN dx = 0 THEN CAST(1 AS DOUBLE) ELSE 0 END) AS tx,
+         SUM(CASE WHEN dy = 0 THEN CAST(1 AS DOUBLE) ELSE 0 END) AS ty,
+         CAST(COUNT(*) AS DOUBLE) AS n0
+  FROM pr
+),
+rk AS (
+  SELECT x, y,
+         RANK() OVER (ORDER BY x)
+           + (COUNT(*) OVER (PARTITION BY x) - 1) / 2.0 AS rkx,
+         RANK() OVER (ORDER BY y)
+           + (COUNT(*) OVER (PARTITION BY y) - 1) / 2.0 AS rky
+  FROM m
+),
+cors AS (
+  SELECT CORR(x, y) AS pearson, CORR(rkx, rky) AS spearman FROM rk
+)
+SELECT round((tb.conc - tb.disc)
+             / sqrt((tb.n0 - tb.tx) * (tb.n0 - tb.ty)), 4) AS kendall,
+       round(cors.pearson, 4) AS pearson,
+       round(cors.spearman, 4) AS spearman
+FROM tb CROSS JOIN cors"""
+        )
     if name == "qpp_cumnqc":
         # P2 CumulativeNQC (qpp/CumulativeNQC.java): mean over prefix
         # depths i = 1..k-1 of var_pop(top-min(i,n) scores), times
@@ -1480,6 +1538,68 @@ def _qpp_cumnqc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid")
 
 
+def _qpp_eval_corr_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 QPP-evaluation-harness contract: the real operator chain —
+    ``eval.per_query_metrics`` (AP) + ``qpp.nqc`` over the Block-Max
+    top-100 and the synthetic qrels, correlated by the REAL driver-side
+    kernels ``correlation.kendall_tau`` / ``pearson_r`` /
+    ``spearman_rho`` (exactly what ``experiments.qpp_experiment``
+    composes) — vs the SQL twin in ``build_sql("qpp_eval_corr")``.
+    Inputs are pre-rounded (ap 4, nqc 6) on both sides so the
+    correlations see identical vectors. First value-level oracle for
+    the H-family harness and the C1/C2 correlation kernels."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from .operators.correlation import kendall_tau, pearson_r, spearman_rho
+    from .operators.eval import per_query_metrics
+    from .operators.index import build_index
+    from .operators.postings import CompactIndex, bmw_search
+    from .operators.qpp import nqc, query_idf_stats
+    from .operators.retrieval import compile_queries
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = build_index(docs, analyzer="simple", cache=False)
+    compact = CompactIndex.from_index(idx, n_segments=4)
+    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
+    qt = compile_queries(qdf, "simple")
+    run = bmw_search(compact, qt, k=100, rank_round=4).select(
+        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
+    )
+    # the synthetic qrels of QRELS_CTE, rendered as DataFrame ops
+    m = (F.col("doc_id") + F.substring("qid", 2, 10).cast("int")) % 10
+    qrels = (
+        docs.select("doc_id").crossJoin(qdf.select("qid"))
+        .withColumn(
+            "rel",
+            F.when(m == 0, 3).when(m == 1, 2).when(m == 2, 1).otherwise(0),
+        )
+        .filter(F.col("rel") > 0)
+        .select("qid", "doc_id", "rel")
+    )
+    metrics = per_query_metrics(run, qrels)
+    stats = query_idf_stats(qt, idx.term_stats, idx.stats.n_docs)
+    est = nqc(run, stats, k=50)
+    rows = (
+        metrics.select("qid", F.round("ap", 4).alias("x"))
+        .join(est.select("qid", F.round("nqc", 6).alias("y")), "qid")
+        .orderBy("qid")
+        .collect()
+    )
+    gt = np.array([r["x"] for r in rows])
+    pred = np.array([r["y"] for r in rows])
+    out = [(
+        round(float(kendall_tau(gt, pred)), 4),
+        round(float(pearson_r(gt, pred)), 4),
+        round(float(spearman_rho(gt, pred)), 4),
+    )]
+    return spark.createDataFrame(
+        out, "kendall double, pearson double, spearman double"
+    )
+
+
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {n: make_spark_query(n) for n in QUERY_NAMES}
     out["bmw_topk"] = _bmw_topk_query
@@ -1490,6 +1610,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["fdbk_kl_rerank"] = _fdbk_kl_rerank_query
     out["fdbk_rm1_expand"] = _fdbk_rm1_expand_query
     out["qpp_cumnqc"] = _qpp_cumnqc_query
+    out["qpp_eval_corr"] = _qpp_eval_corr_query
     return out
 
 
@@ -1513,4 +1634,7 @@ def duckdb_oracles() -> dict[str, str]:
     # prefix-variance CumulativeNQC, each vs a full SQL rendering
     out["fdbk_rm1_expand"] = build_sql("fdbk_rm1_expand", "duckdb")
     out["qpp_cumnqc"] = build_sql("qpp_cumnqc", "duckdb")
+    # the H1 harness composition: AP x NQC correlated by the real
+    # kendall/pearson/spearman kernels vs a full SQL rendering
+    out["qpp_eval_corr"] = build_sql("qpp_eval_corr", "duckdb")
     return out
