@@ -705,6 +705,74 @@ expanded AS (
 )
 SELECT qid, term, qtf, round(weight, 6) AS weight
 FROM expanded ORDER BY qid, term"""
+    if name == "fdbk_rocchio":
+        # F7+F11 (fdbk/Rocchio LM doc vectors + expansion,
+        # Constants.java:46-49): L2-normalized LM doc vectors
+        # w_raw = ln(1 + λ/(1-λ)·(tf/doclen)·(N/df)), λ=0.9 — then
+        # rocchio weight = α·qtf + β·centroid(top-20 docs)
+        # - γ·centroid(bottom-3 of the top-100, ranks 98-100),
+        # α=0.5 β=0.35 γ=0.15; positive weights only, top-20 terms per
+        # query under the round-6 total order (term tie-break).
+        return base + """,
+run AS (SELECT qid, doc_id, rank FROM ranked WHERE rank <= 100),
+rel AS (SELECT qid, doc_id FROM run WHERE rank <= 20),
+neg AS (SELECT qid, doc_id FROM run WHERE rank >= 98),
+fdocs AS (SELECT doc_id FROM rel UNION SELECT doc_id FROM neg),
+vraw AS (
+  SELECT t.doc_id, t.term,
+         ln(1.0 + (0.9 / (1.0 - 0.9))
+            * (CAST(t.tf AS DOUBLE) / ds.doclen)
+            * (CAST(g.n_docs AS DOUBLE) / s.df)) AS w_raw
+  FROM tf t
+  JOIN dstats ds ON t.doc_id = ds.doc_id
+  JOIN tstats s ON t.term = s.term
+  CROSS JOIN g
+  WHERE t.doc_id IN (SELECT doc_id FROM fdocs)
+),
+norms AS (
+  SELECT doc_id, sqrt(SUM(w_raw * w_raw)) AS l2 FROM vraw GROUP BY doc_id
+),
+vec AS (
+  SELECT v.doc_id, v.term, v.w_raw / n.l2 AS w
+  FROM vraw v JOIN norms n ON v.doc_id = n.doc_id
+),
+rvec AS (
+  SELECT r.qid, r.doc_id, v.term, v.w
+  FROM rel r JOIN vec v ON r.doc_id = v.doc_id
+),
+nvecs AS (
+  SELECT r.qid, r.doc_id, v.term, v.w
+  FROM neg r JOIN vec v ON r.doc_id = v.doc_id
+),
+rsize AS (
+  SELECT qid, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
+  FROM rvec GROUP BY qid
+),
+nsize AS (
+  SELECT qid, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
+  FROM nvecs GROUP BY qid
+),
+parts AS (
+  SELECT qid, term, 0.5 * qtf AS c FROM qterms
+  UNION ALL
+  SELECT v.qid, v.term, 0.35 * SUM(v.w) / s.n AS c
+  FROM rvec v JOIN rsize s ON v.qid = s.qid GROUP BY v.qid, v.term, s.n
+  UNION ALL
+  SELECT v.qid, v.term, (-0.15) * SUM(v.w) / s.n AS c
+  FROM nvecs v JOIN nsize s ON v.qid = s.qid GROUP BY v.qid, v.term, s.n
+),
+comb AS (
+  SELECT qid, term, SUM(c) AS weight FROM parts GROUP BY qid, term
+),
+topm AS (
+  SELECT qid, term, weight,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY round(weight, 6) DESC, term ASC
+         ) AS INT) AS r
+  FROM comb WHERE weight > 0
+)
+SELECT qid, term, CAST(1.0 AS DOUBLE) AS qtf, round(weight, 6) AS weight
+FROM topm WHERE r <= 20 ORDER BY qid, term"""
     if name == "qpp_eval_corr":
         # H1 QPP-evaluation harness (qpp_eval/* drivers; correlation
         # kernels utils/TauCorrelation.java / commons-math3): per-query
@@ -1538,6 +1606,45 @@ def _qpp_cumnqc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid")
 
 
+def _fdbk_rocchio_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio contract (F7 ``lm_doc_vectors`` + F11 ``rocchio_expand``,
+    reference Rocchio constants ``Constants.java:46-49``): the real
+    operators over the Block-Max top-100 — top-20 docs as positive
+    feedback, ranks 98-100 as negative — vs the full SQL twin in
+    ``build_sql("fdbk_rocchio")``. Exercises the negative-centroid
+    (γ) path and the positive-weight filter; ``rank_round=6`` on the
+    expansion cutoff on both sides."""
+    from pyspark.sql import functions as F
+
+    from .operators.feedback import lm_doc_vectors, rocchio_expand
+    from .operators.index import build_index
+    from .operators.postings import CompactIndex, bmw_search
+    from .operators.retrieval import compile_queries
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = build_index(docs, analyzer="simple", cache=False)
+    compact = CompactIndex.from_index(idx, n_segments=4)
+    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
+    qt = compile_queries(qdf, "simple").withColumn(
+        "qtf", F.col("qtf").cast("double")
+    )
+    run = bmw_search(compact, qt, k=100, rank_round=4).select(
+        "qid", "doc_id", "rank"
+    )
+    rel = run.filter(F.col("rank") <= 20).select("qid", "doc_id")
+    neg = run.filter(F.col("rank") >= 98).select("qid", "doc_id")
+    fdocs = rel.select("doc_id").union(neg.select("doc_id")).distinct()
+    vecs = lm_doc_vectors(idx, doc_ids=fdocs)
+    rel_vecs = rel.join(vecs, "doc_id").select("qid", "doc_id", "term", "w")
+    neg_vecs = neg.join(vecs, "doc_id").select("qid", "doc_id", "term", "w")
+    out = rocchio_expand(qt, rel_vecs, neg_vecs, rank_round=6)
+    return out.select(
+        "qid", "term", "qtf", F.round("weight", 6).alias("weight")
+    ).orderBy("qid", "term")
+
+
 def _qpp_eval_corr_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H1 QPP-evaluation-harness contract: the real operator chain —
     ``eval.per_query_metrics`` (AP) + ``qpp.nqc`` over the Block-Max
@@ -1611,6 +1718,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["fdbk_rm1_expand"] = _fdbk_rm1_expand_query
     out["qpp_cumnqc"] = _qpp_cumnqc_query
     out["qpp_eval_corr"] = _qpp_eval_corr_query
+    out["fdbk_rocchio"] = _fdbk_rocchio_query
     return out
 
 
@@ -1637,4 +1745,7 @@ def duckdb_oracles() -> dict[str, str]:
     # the H1 harness composition: AP x NQC correlated by the real
     # kendall/pearson/spearman kernels vs a full SQL rendering
     out["qpp_eval_corr"] = build_sql("qpp_eval_corr", "duckdb")
+    # Rocchio LM-vector expansion with negative feedback vs a full
+    # SQL rendering
+    out["fdbk_rocchio"] = build_sql("fdbk_rocchio", "duckdb")
     return out

@@ -280,9 +280,15 @@ def rocchio_expand(
     rel_vecs: DataFrame,
     nonrel_vecs: DataFrame | None = None,
     cfg: FeedbackConfig = FeedbackConfig(),
+    rank_round: int | None = None,
 ) -> DataFrame:
     """F11 -> (qid, term, qtf=1, weight); positive weights, top
     num_expansion_terms. ``rel_vecs``/``nonrel_vecs``: (qid, doc_id, term, w).
+
+    ``rank_round``: when set, the top-``num_expansion_terms`` cutoff
+    ranks on ``round(weight, rank_round)`` (term tie-break) — the
+    contract-query device (see ``rlm_expand_query``) making membership
+    exact under a rounded total order. ``None`` keeps raw-weight order.
     """
     a, b, g = cfg.rocchio_alpha, cfg.rocchio_beta, cfg.rocchio_gamma
 
@@ -309,8 +315,12 @@ def rocchio_expand(
         merged = merged.unionByName(p)
     combined = merged.groupBy("qid", "term").agg(F.sum("c").alias("weight"))
     positive = combined.filter(F.col("weight") > 0)
+    weight_key = (
+        F.round(F.col("weight"), rank_round)
+        if rank_round is not None else F.col("weight")
+    )
     w = Window.partitionBy("qid").orderBy(
-        F.col("weight").desc(), F.col("term").asc()
+        weight_key.desc(), F.col("term").asc()
     )
     return (
         positive.withColumn("r", F.row_number().over(w))
