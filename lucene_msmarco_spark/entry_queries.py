@@ -705,6 +705,101 @@ expanded AS (
 )
 SELECT qid, term, qtf, round(weight, 6) AS weight
 FROM expanded ORDER BY qid, term"""
+    if name == "lmdir_mu_sweep":
+        # H3/E6 μ-sweep driver (tokenization/bpe_msmarco.sh:29-63 —
+        # retrieve + trec_eval per μ): LM-Dirichlet scoring at each μ
+        # in {100, 500, 1000, 2000}, top-100 under the round-4 total
+        # order, then the computeAll summary (mean AP / P@5 / nDCG@100
+        # + the quirky recall = Σ per-query recall / total num-rel,
+        # qrels/AllRetrievedResults.java computeAll) per μ. The weight
+        # expression mirrors functions/scoring.lm_dirichlet_weight's
+        # operation order exactly: tf / (μ·(cf/total_cf)).
+        return base + "," + QRELS_CTE + """,
+mus AS (
+  SELECT CAST(mu AS DOUBLE) AS mu
+  FROM (VALUES (100.0), (500.0), (1000.0), (2000.0)) AS t(mu)
+),
+mscored AS (
+  SELECT m.mu, h.qid, h.doc_id,
+         SUM(greatest(
+               ln(1.0 + CAST(h.tf AS DOUBLE)
+                  / (m.mu * (CAST(h.cf AS DOUBLE) / g.total_cf)))
+               + ln(m.mu / (CAST(h.doclen AS DOUBLE) + m.mu)),
+               CAST(0 AS DOUBLE)) * h.qtf) AS score
+  FROM hits h CROSS JOIN g CROSS JOIN mus m
+  GROUP BY m.mu, h.qid, h.doc_id
+),
+mrun AS (
+  SELECT mu, qid, doc_id, rank FROM (
+    SELECT mu, qid, doc_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY mu, qid
+             ORDER BY round(score, 4) DESC, doc_id ASC
+           ) AS INT) AS rank
+    FROM mscored
+  ) x WHERE rank <= 100
+),
+mfilled AS (
+  SELECT r.mu, r.qid, r.rank, COALESCE(s.rel, 0) AS rel
+  FROM mrun r LEFT JOIN qrels s ON r.qid = s.qid AND r.doc_id = s.doc_id
+),
+mperdoc AS (
+  SELECT mu, qid, rank, rel,
+         CASE WHEN rel >= 2 THEN 1 ELSE 0 END AS is_rel,
+         SUM(CASE WHEN rel >= 2 THEN 1 ELSE 0 END) OVER (
+           PARTITION BY mu, qid ORDER BY rank
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum_rel,
+         CASE WHEN rank <= 100
+              THEN rel / (ln(1.0 + rank) / ln(2)) ELSE 0 END AS gain
+  FROM mfilled
+),
+mqstats AS (
+  SELECT qid,
+         SUM(CASE WHEN rel >= 2 THEN 1 ELSE 0 END) AS num_rel,
+         COUNT(*) AS num_judged
+  FROM qrels GROUP BY qid
+),
+midcg AS (
+  SELECT qid, SUM(rel / (ln(1.0 + irank) / ln(2))) AS idcg FROM (
+    SELECT qid, rel,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC) AS irank
+    FROM qrels
+  ) x WHERE irank <= 100 GROUP BY qid
+),
+mperagg AS (
+  SELECT mu, qid,
+         SUM(CASE WHEN is_rel = 1
+                  THEN CAST(cum_rel AS DOUBLE) / rank ELSE 0 END) AS ap_num,
+         SUM(CASE WHEN rank <= 5 AND is_rel = 1 THEN 1 ELSE 0 END)
+           AS rel_top5,
+         SUM(is_rel) AS num_rel_ret,
+         SUM(gain) AS dcg
+  FROM mperdoc GROUP BY mu, qid
+),
+mper AS (
+  SELECT a.mu, a.qid,
+         CASE WHEN s.num_rel > 0
+              THEN a.ap_num / s.num_rel ELSE 0 END AS ap,
+         CAST(a.rel_top5 AS DOUBLE) / 5 AS p5,
+         CASE WHEN s.num_judged > 0
+              THEN CAST(a.num_rel_ret AS DOUBLE) / s.num_judged
+              ELSE 0 END AS recall,
+         CASE WHEN i.idcg IS NOT NULL AND i.idcg <> 0
+              THEN a.dcg / i.idcg ELSE 0 END AS ndcg
+  FROM mperagg a
+  LEFT JOIN mqstats s ON a.qid = s.qid
+  LEFT JOIN midcg i ON a.qid = i.qid
+),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total_rel FROM qrels)
+SELECT p.mu,
+       round(AVG(p.ap), 4) AS map,
+       round(AVG(p.p5), 4) AS p_at_5,
+       round(AVG(p.ndcg), 4) AS ndcg_100,
+       round(SUM(p.recall) / t.total_rel, 6) AS recall_quirk
+FROM mper p CROSS JOIN tot t
+GROUP BY p.mu, t.total_rel
+ORDER BY p.mu"""
     if name == "fdbk_rocchio":
         # F7+F11 (fdbk/Rocchio LM doc vectors + expansion,
         # Constants.java:46-49): L2-normalized LM doc vectors
@@ -1606,6 +1701,57 @@ def _qpp_cumnqc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid")
 
 
+def _lmdir_mu_sweep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3/E6 μ-sweep contract (``experiments.mu_sweep``, the reference's
+    ``tokenization/bpe_msmarco.sh:29-63`` tuning loop): the REAL driver —
+    one LM-Dirichlet ``search`` + ``compute_all`` per μ — vs the SQL
+    twin in ``build_sql("lmdir_mu_sweep")``. ``rank_round=4`` pins the
+    per-μ top-100 membership to the rounded total order on both sides;
+    output is the per-μ computeAll summary row (rounded 4 in Spark)."""
+    from pyspark.sql import functions as F
+
+    from .operators.experiments import mu_sweep
+    from .operators.index import build_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = build_index(docs, analyzer="simple", cache=False)
+    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
+    # the synthetic qrels of QRELS_CTE, rendered as DataFrame ops
+    m = (F.col("doc_id") + F.substring("qid", 2, 10).cast("int")) % 10
+    qrels = (
+        docs.select("doc_id").crossJoin(qdf.select("qid"))
+        .withColumn(
+            "rel",
+            F.when(m == 0, 3).when(m == 1, 2).when(m == 2, 1).otherwise(0),
+        )
+        .filter(F.col("rel") > 0)
+        .select("qid", "doc_id", "rel")
+    )
+    res = mu_sweep(idx, qdf, qrels, k=100, rank_round=4)
+    rows = [
+        (mu, s["map"], s["p_at_5"], s["ndcg_100"], s["recall_quirk"])
+        for mu, s in sorted(res["summaries"].items())
+    ]
+    raw = spark.createDataFrame(
+        rows,
+        "mu double, map double, p_at_5 double, ndcg_100 double, "
+        "recall_quirk double",
+    )
+    return raw.select(
+        "mu",
+        F.round("map", 4).alias("map"),
+        F.round("p_at_5", 4).alias("p_at_5"),
+        F.round("ndcg_100", 4).alias("ndcg_100"),
+        # round-6, not 4: the quirk normalization lands on exact decimal
+        # values (e.g. 3/4000 = 0.00075) where a 4-digit cut sits on the
+        # rounding boundary and sum-order float noise flips it; the
+        # value terminates at <= 6 decimals so the 6-digit cut is exact
+        F.round("recall_quirk", 6).alias("recall_quirk"),
+    ).orderBy("mu")
+
+
 def _fdbk_rocchio_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rocchio contract (F7 ``lm_doc_vectors`` + F11 ``rocchio_expand``,
     reference Rocchio constants ``Constants.java:46-49``): the real
@@ -1719,6 +1865,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["qpp_cumnqc"] = _qpp_cumnqc_query
     out["qpp_eval_corr"] = _qpp_eval_corr_query
     out["fdbk_rocchio"] = _fdbk_rocchio_query
+    out["lmdir_mu_sweep"] = _lmdir_mu_sweep_query
     return out
 
 
@@ -1748,4 +1895,7 @@ def duckdb_oracles() -> dict[str, str]:
     # Rocchio LM-vector expansion with negative feedback vs a full
     # SQL rendering
     out["fdbk_rocchio"] = build_sql("fdbk_rocchio", "duckdb")
+    # the H3 mu-sweep driver: per-mu LM-Dirichlet retrieval + the E6
+    # computeAll summary vs a full SQL rendering
+    out["lmdir_mu_sweep"] = build_sql("lmdir_mu_sweep", "duckdb")
     return out

@@ -112,6 +112,7 @@ def mu_sweep(
     mus: tuple[float, ...] = (100.0, 500.0, 1000.0, 2000.0),
     metric_col: str = "map",
     k: int = 100,
+    rank_round: int | None = None,
 ) -> dict:
     """LM-Dirichlet μ sweep: retrieve + evaluate per μ, pick the best —
     the reference's BPE-index tuning loop
@@ -119,7 +120,11 @@ def mu_sweep(
     μ over the subword-encoded index). Works over ANY index, including a
     BPE-encoded whitespace-analyzed one (functions/bpe.py).
 
-    Returns {"best_mu", "best_metric", "metrics": {mu: value}}.
+    ``rank_round`` is forwarded to ``search`` (contract-query device).
+
+    Returns {"best_mu", "best_metric", "metrics": {mu: value},
+    "summaries": {mu: {metric: value}}} — ``summaries`` carries the
+    full computeAll row (map, p_at_5, ndcg_100, recall_quirk) per μ.
     """
     from dataclasses import replace
 
@@ -127,13 +132,17 @@ def mu_sweep(
     from .eval import compute_all
 
     out: dict[float, float] = {}
+    summaries: dict[float, dict[str, float]] = {}
     for mu in mus:
         cfg = replace(EngineConfig(), lmdir=LMDirichletConfig(mu=mu))
-        run = search(index, queries, model="lmdir", k=k, cfg=cfg)
+        run = search(index, queries, model="lmdir", k=k, cfg=cfg,
+                     rank_round=rank_round)
         summary = compute_all(run, qrels).collect()[0]
+        summaries[mu] = {c: float(summary[c]) for c in summary.asDict()}
         out[mu] = float(summary[metric_col])
     best = max(out, key=lambda m: (out[m], -m))
-    return {"best_mu": best, "best_metric": out[best], "metrics": out}
+    return {"best_mu": best, "best_metric": out[best], "metrics": out,
+            "summaries": summaries}
 
 
 def grid_search_lambda(

@@ -129,14 +129,18 @@ def search(
     strategy: str = "window",
     analyzer: str | None = None,
     precompiled_terms: DataFrame | None = None,
+    rank_round: int | None = None,
 ) -> DataFrame:
-    """Q3 — batch top-k search. Returns (qid, doc_id, rank, score)."""
+    """Q3 — batch top-k search. Returns (qid, doc_id, rank, score).
+
+    ``rank_round``: rank on ``round(score, rank_round)`` (doc
+    tie-break); window strategy only — the contract-query device."""
     k = k or cfg.num_wanted
     scored = score_queries(
         index, queries, model, cfg, analyzer=analyzer,
         precompiled_terms=precompiled_terms,
     )
-    return topk(scored, k, strategy=strategy).select(
+    return topk(scored, k, strategy=strategy, rank_round=rank_round).select(
         "qid", "doc_id", "rank", "score"
     )
 

@@ -27,10 +27,14 @@ from pyspark.sql import functions as F
 
 
 def _ranked(scored: DataFrame, k: int, score_col: str, qid_col: str,
-            doc_col: str) -> DataFrame:
+            doc_col: str, rank_round: int | None = None) -> DataFrame:
+    key = (
+        F.round(F.col(score_col), rank_round)
+        if rank_round is not None else F.col(score_col)
+    )
     w = (
         Window.partitionBy(qid_col)
-        .orderBy(F.col(score_col).desc(), F.col(doc_col).asc())
+        .orderBy(key.desc(), F.col(doc_col).asc())
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -44,8 +48,12 @@ def topk_window(
     score_col: str = "score",
     qid_col: str = "qid",
     doc_col: str = "doc_id",
+    rank_round: int | None = None,
 ) -> DataFrame:
-    return _ranked(scored, k, score_col, qid_col, doc_col)
+    """``rank_round``: when set, rank on ``round(score, rank_round)``
+    (doc tie-break) — the contract-query device (see ``bmw_topk``)
+    making the top-k membership exact under a rounded total order."""
+    return _ranked(scored, k, score_col, qid_col, doc_col, rank_round)
 
 
 def topk_two_phase(
@@ -95,10 +103,16 @@ def topk(
     scored: DataFrame,
     k: int,
     strategy: str = "window",
+    rank_round: int | None = None,
     **kw,
 ) -> DataFrame:
     if strategy == "window":
-        return topk_window(scored, k, **kw)
+        return topk_window(scored, k, rank_round=rank_round, **kw)
+    if rank_round is not None:
+        # the two_phase local cut prunes on RAW score order; under a
+        # rounded total order a pruned doc could tie back in by doc_id,
+        # so the device is only sound on the window strategy
+        raise ValueError("rank_round requires strategy='window'")
     if strategy == "two_phase":
         return topk_two_phase(scored, k, **kw)
     raise ValueError(f"unknown top-k strategy {strategy!r}")
