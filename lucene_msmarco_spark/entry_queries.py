@@ -705,6 +705,52 @@ expanded AS (
 )
 SELECT qid, term, qtf, round(weight, 6) AS weight
 FROM expanded ORDER BY qid, term"""
+    if name == "stoch_swap_perms":
+        # H5 samplePermutations (stochastic_qpp/RankSwapper.java:19-141):
+        # over the BM25 top-10, enumerate EVERY single-swap permutation
+        # of one rel rank (rel >= 1; rank 1 always counts as rel —
+        # TOPDOC_ALWAYS_SWAPPED) with one nonrel rank. Scores stay
+        # attached to RANKS; only doc ids move. perm_id 0 is the
+        # identity; swap (r, nr) pairs are numbered in (r ASC, nr ASC)
+        # order — the reference's enumeration order.
+        return base + "," + QRELS_CTE + """,
+run AS (SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 10),
+filled AS (
+  SELECT r.qid, r.doc_id, r.rank, r.score, COALESCE(s.rel, 0) AS rel
+  FROM run r LEFT JOIN qrels s ON r.qid = s.qid AND r.doc_id = s.doc_id
+),
+relranks AS (
+  SELECT qid, rank AS r FROM filled WHERE rel >= 1 OR rank = 1
+),
+nonrelranks AS (
+  SELECT qid, rank AS nr FROM filled WHERE rel < 1
+),
+permids AS (
+  SELECT rr.qid, rr.r, nr.nr,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY rr.qid ORDER BY rr.r, nr.nr
+         ) AS INT) AS perm_id
+  FROM relranks rr
+  JOIN nonrelranks nr ON rr.qid = nr.qid AND nr.nr <> rr.r
+),
+swapped AS (
+  SELECT p.qid, p.perm_id, f.rank,
+         CASE WHEN f.rank = p.r THEN fn.doc_id
+              WHEN f.rank = p.nr THEN fr.doc_id
+              ELSE f.doc_id END AS doc_id,
+         f.score
+  FROM permids p
+  JOIN filled f ON f.qid = p.qid
+  JOIN filled fr ON fr.qid = p.qid AND fr.rank = p.r
+  JOIN filled fn ON fn.qid = p.qid AND fn.rank = p.nr
+),
+allperms AS (
+  SELECT qid, CAST(0 AS INT) AS perm_id, rank, doc_id, score FROM filled
+  UNION ALL
+  SELECT qid, perm_id, rank, doc_id, score FROM swapped
+)
+SELECT qid, perm_id, doc_id, rank, round(score, 4) AS score
+FROM allperms ORDER BY qid, perm_id, rank"""
     if name == "lmdir_mu_sweep":
         # H3/E6 μ-sweep driver (tokenization/bpe_msmarco.sh:29-63 —
         # retrieve + trec_eval per μ): LM-Dirichlet scoring at each μ
@@ -1701,6 +1747,52 @@ def _qpp_cumnqc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid")
 
 
+def _stoch_swap_perms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H5 contract (``stochastic.swap_permutations``, reference
+    ``stochastic_qpp/RankSwapper.java:19-141`` samplePermutations): the
+    real applyInPandas permutation enumerator over the Block-Max top-10
+    with qrels-filled rel labels, vs the SQL twin in
+    ``build_sql("stoch_swap_perms")``. Deterministic by construction
+    (the full permutation set, no sampling), so it value-pins the swap
+    mechanics that the seeded samplers (H5 sample/shuffle, H7) build
+    on: scores stay attached to ranks, docs move, identity included,
+    rank 1 always swappable, (r, nr) enumeration order."""
+    from pyspark.sql import functions as F
+
+    from .operators.eval import fill_rel
+    from .operators.index import build_index
+    from .operators.postings import CompactIndex, bmw_search
+    from .operators.retrieval import compile_queries
+    from .operators.stochastic import swap_permutations
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = build_index(docs, analyzer="simple", cache=False)
+    compact = CompactIndex.from_index(idx, n_segments=4)
+    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
+    qt = compile_queries(qdf, "simple")
+    run = bmw_search(compact, qt, k=10, rank_round=4).select(
+        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
+    )
+    m = (F.col("doc_id") + F.substring("qid", 2, 10).cast("int")) % 10
+    qrels = (
+        docs.select("doc_id").crossJoin(qdf.select("qid"))
+        .withColumn(
+            "rel",
+            F.when(m == 0, 3).when(m == 1, 2).when(m == 2, 1).otherwise(0),
+        )
+        .filter(F.col("rel") > 0)
+        .select("qid", "doc_id", "rel")
+    )
+    filled = fill_rel(run, qrels)
+    perms = swap_permutations(filled, top_doc_always_swapped=True,
+                              min_rel=1)
+    return perms.select(
+        "qid", "perm_id", "doc_id", "rank", "score"
+    ).orderBy("qid", "perm_id", "rank")
+
+
 def _lmdir_mu_sweep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H3/E6 μ-sweep contract (``experiments.mu_sweep``, the reference's
     ``tokenization/bpe_msmarco.sh:29-63`` tuning loop): the REAL driver —
@@ -1866,6 +1958,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["qpp_eval_corr"] = _qpp_eval_corr_query
     out["fdbk_rocchio"] = _fdbk_rocchio_query
     out["lmdir_mu_sweep"] = _lmdir_mu_sweep_query
+    out["stoch_swap_perms"] = _stoch_swap_perms_query
     return out
 
 
@@ -1898,4 +1991,7 @@ def duckdb_oracles() -> dict[str, str]:
     # the H3 mu-sweep driver: per-mu LM-Dirichlet retrieval + the E6
     # computeAll summary vs a full SQL rendering
     out["lmdir_mu_sweep"] = build_sql("lmdir_mu_sweep", "duckdb")
+    # the H5 deterministic permutation enumerator vs a full SQL
+    # rendering (self-join swap)
+    out["stoch_swap_perms"] = build_sql("stoch_swap_perms", "duckdb")
     return out
