@@ -52,6 +52,19 @@ QUERYSET: list[tuple[str, str]] = [
     ("q8", "slow fast small big"),
 ]
 
+# Deterministic query variants for the P7 contract (S7-shaped: per
+# query, vid 1 = drop the last whitespace token, vid 2 = keep the last
+# two) — derived from QUERYSET in Python and inlined as VALUES in the
+# SQL twin, so both sides see byte-identical variant strings.
+VARIANTSET: list[tuple[str, int, str]] = [
+    (qid, vid, txt)
+    for qid, qtext in QUERYSET
+    for vid, txt in (
+        (1, " ".join(qtext.split()[:-1])),
+        (2, " ".join(qtext.split()[-2:])),
+    )
+]
+
 _TABLES = ("documents", "embeddings", "events", "lineitem", "orders",
            "customer", "supplier", "part", "nation", "region")
 
@@ -705,6 +718,113 @@ expanded AS (
 )
 SELECT qid, term, qtf, round(weight, 6) AS weight
 FROM expanded ORDER BY qid, term"""
+    if name == "qpp_variant_spec":
+        # P7 VariantSpecificity (qpp/VariantSpecificity.java) over
+        # deterministic variants (VARIANTSET): per variant, a full BM25
+        # retrieval, NQC estimate (var_pop(top-50 scores, round-4) x
+        # avgidf_nqc over the VARIANT's terms), and sim = Jaccard
+        # overlap of the base-vs-variant top-10 doc sets (C10). Combine:
+        # est = lam*coalesce(Sum sim*est / Sum sim, base) + (1-lam)*base,
+        # lam = 0.5, base = the original query's NQC.
+        bm25w = (
+            "ln(1 + (g.n_docs - df + 0.5) / (df + 0.5)) * tf * 1.9 "
+            "/ (tf + 0.9 * (1 - 0.4 + 0.4 * doclen / g.avgdl))"
+        )
+        vvals = ", ".join(
+            f"('{q}', {v}, '{t}')" for q, v, t in VARIANTSET
+        )
+        return base + f""",
+variants AS (
+  SELECT qid, vid, vtext FROM (VALUES {vvals}) AS v(qid, vid, vtext)
+),
+vqtok AS (
+  SELECT qid, vid, {D['EXPLODE'](D['TOKENS']('vtext'))} AS term
+  FROM variants
+),
+vqterms AS (
+  SELECT qid, vid, term, CAST(COUNT(*) AS DOUBLE) AS qtf
+  FROM vqtok WHERE term NOT IN (SELECT sw FROM stopw)
+  GROUP BY qid, vid, term
+),
+vhits AS (
+  SELECT q.qid, q.vid, t.doc_id, q.qtf, t.tf, d.doclen, s.df
+  FROM vqterms q
+  JOIN tstats s ON q.term = s.term
+  JOIN tf t ON q.term = t.term
+  JOIN dstats d ON t.doc_id = d.doc_id
+),
+vscored AS (
+  SELECT qid, vid, doc_id, SUM(qtf * ({bm25w})) AS score
+  FROM vhits CROSS JOIN g
+  GROUP BY qid, vid, doc_id
+),
+vranked AS (
+  SELECT qid, vid, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY qid, vid ORDER BY round(score, 4) DESC, doc_id ASC
+         ) AS INT) AS rank,
+         round(score, 4) AS score
+  FROM vscored
+),
+vaidf AS (
+  SELECT q.qid, q.vid,
+         AVG(ln(CAST(g.n_docs AS DOUBLE)
+                / GREATEST(COALESCE(s.df, 0), 1))) AS aidf
+  FROM vqterms q LEFT JOIN tstats s ON q.term = s.term CROSS JOIN g
+  GROUP BY q.qid, q.vid
+),
+vnqcv AS (
+  SELECT qid, vid, var_pop(score) AS v
+  FROM vranked WHERE rank <= 50 GROUP BY qid, vid
+),
+vest AS (
+  SELECT nv.qid, nv.vid, nv.v * a.aidf AS est
+  FROM vnqcv nv JOIN vaidf a ON nv.qid = a.qid AND nv.vid = a.vid
+),
+b10 AS (SELECT qid, doc_id FROM ranked WHERE rank <= 10),
+v10 AS (SELECT qid, vid, doc_id FROM vranked WHERE rank <= 10),
+nasz AS (SELECT qid, COUNT(*) AS na FROM b10 GROUP BY qid),
+nbsz AS (SELECT qid, vid, COUNT(*) AS nb FROM v10 GROUP BY qid, vid),
+nisz AS (
+  SELECT v.qid, v.vid, COUNT(*) AS ni
+  FROM v10 v JOIN b10 b ON v.qid = b.qid AND v.doc_id = b.doc_id
+  GROUP BY v.qid, v.vid
+),
+sims AS (
+  SELECT nb.qid, nb.vid,
+         CASE WHEN na.na + nb.nb - COALESCE(ni.ni, 0) > 0
+              THEN CAST(COALESCE(ni.ni, 0) AS DOUBLE)
+                   / (na.na + nb.nb - COALESCE(ni.ni, 0))
+              ELSE CAST(0 AS DOUBLE) END AS sim
+  FROM nbsz nb
+  JOIN nasz na ON nb.qid = na.qid
+  LEFT JOIN nisz ni ON nb.qid = ni.qid AND nb.vid = ni.vid
+),
+refs AS (
+  SELECT e.qid, s.sim, e.est
+  FROM vest e JOIN sims s ON e.qid = s.qid AND e.vid = s.vid
+),
+wavg AS (
+  SELECT qid, SUM(sim * est) / SUM(sim) AS wref FROM refs GROUP BY qid
+),
+bnqcv AS (
+  SELECT qid, var_pop(score) AS v FROM ranked WHERE rank <= 50 GROUP BY qid
+),
+baidf AS (
+  SELECT q.qid,
+         AVG(ln(CAST(g.n_docs AS DOUBLE)
+                / GREATEST(COALESCE(s.df, 0), 1))) AS aidf
+  FROM qterms q LEFT JOIN tstats s ON q.term = s.term CROSS JOIN g
+  GROUP BY q.qid
+),
+bnqc AS (
+  SELECT nv.qid, nv.v * a.aidf AS nqc
+  FROM bnqcv nv JOIN baidf a ON nv.qid = a.qid
+)
+SELECT b.qid,
+       round(0.5 * COALESCE(w.wref, b.nqc) + (1.0 - 0.5) * b.nqc, 6) AS est
+FROM bnqc b LEFT JOIN wavg w ON b.qid = w.qid
+ORDER BY b.qid"""
     if name == "stoch_swap_perms":
         # H5 samplePermutations (stochastic_qpp/RankSwapper.java:19-141):
         # over the BM25 top-10, enumerate EVERY single-swap permutation
@@ -1747,6 +1867,59 @@ def _qpp_cumnqc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid")
 
 
+def _qpp_variant_spec_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 VariantSpecificity contract (``qpp.variant_specificity``,
+    reference ``qpp/VariantSpecificity.java``): the REAL composition —
+    per deterministic variant (VARIANTSET), a Block-Max retrieval, an
+    NQC estimate over the variant's own terms (P1), and a distributed
+    top-10 Jaccard similarity against the base run (C10,
+    ``correlation.jaccard_overlap_df``) — combined with λ=0.5 against
+    the base NQC, vs the full SQL twin in
+    ``build_sql("qpp_variant_spec")``. First value-level oracle for the
+    P7/P8 reference-set combine and the C10 distributed form."""
+    from pyspark.sql import functions as F
+
+    from .operators.correlation import jaccard_overlap_df
+    from .operators.index import build_index
+    from .operators.postings import CompactIndex, bmw_search
+    from .operators.qpp import nqc, query_idf_stats, variant_specificity
+    from .operators.retrieval import compile_queries
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = build_index(docs, analyzer="simple", cache=False)
+    compact = CompactIndex.from_index(idx, n_segments=4)
+    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
+    qt = compile_queries(qdf, "simple")
+    base_run = bmw_search(compact, qt, k=100, rank_round=4).select(
+        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
+    )
+    stats = query_idf_stats(qt, idx.term_stats, idx.stats.n_docs)
+    base_nqc = nqc(base_run, stats, k=50)
+    refs = None
+    for vid in (1, 2):
+        vqdf = spark.createDataFrame(
+            [(q, t) for q, v, t in VARIANTSET if v == vid],
+            "qid string, qtext string",
+        )
+        vqt = compile_queries(vqdf, "simple")
+        vrun = bmw_search(compact, vqt, k=100, rank_round=4).select(
+            "qid", "doc_id", "rank", F.round("score", 4).alias("score")
+        )
+        vstats = query_idf_stats(vqt, idx.term_stats, idx.stats.n_docs)
+        vest = nqc(vrun, vstats, k=50)
+        sim = jaccard_overlap_df(base_run, vrun, k=10)
+        r = vest.join(sim, "qid").select(
+            "qid", F.col("jaccard").alias("sim"), F.col("nqc").alias("est")
+        )
+        refs = r if refs is None else refs.unionByName(r)
+    out = variant_specificity(base_nqc, "nqc", refs, lam=0.5)
+    return out.select(
+        "qid", F.round("est", 6).alias("est")
+    ).orderBy("qid")
+
+
 def _stoch_swap_perms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H5 contract (``stochastic.swap_permutations``, reference
     ``stochastic_qpp/RankSwapper.java:19-141`` samplePermutations): the
@@ -1959,6 +2132,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["fdbk_rocchio"] = _fdbk_rocchio_query
     out["lmdir_mu_sweep"] = _lmdir_mu_sweep_query
     out["stoch_swap_perms"] = _stoch_swap_perms_query
+    out["qpp_variant_spec"] = _qpp_variant_spec_query
     return out
 
 
@@ -1994,4 +2168,7 @@ def duckdb_oracles() -> dict[str, str]:
     # the H5 deterministic permutation enumerator vs a full SQL
     # rendering (self-join swap)
     out["stoch_swap_perms"] = build_sql("stoch_swap_perms", "duckdb")
+    # the P7 variant-reference combine (per-variant retrieval + NQC +
+    # top-10 Jaccard) vs a full SQL rendering
+    out["qpp_variant_spec"] = build_sql("qpp_variant_spec", "duckdb")
     return out

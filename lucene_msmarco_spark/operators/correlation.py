@@ -253,6 +253,39 @@ def rank_distance_df(run_a: DataFrame, run_b: DataFrame) -> DataFrame:
     )
 
 
+def jaccard_overlap_df(
+    run_a: DataFrame, run_b: DataFrame, k: int | None = None,
+) -> DataFrame:
+    """C10 as a distributed op: one row (qid, jaccard) per qid present
+    in BOTH runs — |top-k(A) ∩ top-k(B)| / |top-k(A) ∪ top-k(B)|.
+    Counts-only (two tiny groupBys + one equi-join on (qid, doc_id)),
+    no set materialization — the doc sets never leave the executors."""
+    a, b = run_a, run_b
+    if k is not None:
+        a = a.filter(F.col("rank") <= k)
+        b = b.filter(F.col("rank") <= k)
+    a = a.select("qid", "doc_id")
+    b = b.select("qid", "doc_id")
+    na = a.groupBy("qid").agg(F.count(F.lit(1)).alias("na"))
+    nb = b.groupBy("qid").agg(F.count(F.lit(1)).alias("nb"))
+    ni = (
+        a.join(b, ["qid", "doc_id"])
+        .groupBy("qid").agg(F.count(F.lit(1)).alias("ni"))
+    )
+    j = (
+        nb.join(na, "qid")
+        .join(ni, "qid", "left")
+        .fillna(0, subset=["ni"])
+    )
+    union = F.col("na") + F.col("nb") - F.col("ni")
+    return j.select(
+        "qid",
+        F.when(union > 0, F.col("ni").cast("double") / union)
+        .otherwise(F.lit(0.0))
+        .alias("jaccard"),
+    )
+
+
 def rbo_df(
     run_a: DataFrame, run_b: DataFrame, p: float = 0.9,
     k: int | None = None,
