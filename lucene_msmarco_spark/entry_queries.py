@@ -718,6 +718,89 @@ expanded AS (
 )
 SELECT qid, term, qtf, round(weight, 6) AS weight
 FROM expanded ORDER BY qid, term"""
+    if name == "srlm_rerank":
+        # F8+F9 (retrieval/SupervisedRLM.java:151-200,241-270 +
+        # TermDistribution.java): fit coocc[qterm][coterm] =
+        # Σ_{(q,rel d)} qtf·P(q|d)·P(w|d) over L2-normalized LM doc
+        # vectors (raw whitespace qterms, NOT analyzed — the reference
+        # quirk), prune to top-5 coterms per qterm (round-6 order,
+        # coterm tie-break), then rerank the BM25 top-100 by
+        # score' = score · Σ_q qtf·dot(coocc[q], docvec). Missing dot
+        # -> 0. Round-6 rank key with previous-rank tie-break.
+        return base + "," + QRELS_CTE + f""",
+run AS (SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 100),
+vraw AS (
+  SELECT t.doc_id, t.term,
+         ln(1.0 + (0.9 / (1.0 - 0.9))
+            * (CAST(t.tf AS DOUBLE) / ds.doclen)
+            * (CAST(g.n_docs AS DOUBLE) / s.df)) AS w_raw
+  FROM tf t
+  JOIN dstats ds ON t.doc_id = ds.doc_id
+  JOIN tstats s ON t.term = s.term
+  CROSS JOIN g
+),
+vnorms AS (
+  SELECT doc_id, sqrt(SUM(w_raw * w_raw)) AS l2 FROM vraw GROUP BY doc_id
+),
+vec AS (
+  SELECT v.doc_id, v.term, v.w_raw / n.l2 AS w
+  FROM vraw v JOIN vnorms n ON v.doc_id = n.doc_id
+),
+rqt AS (
+  SELECT qid, term, CAST(COUNT(*) AS DOUBLE) AS qtf FROM (
+    SELECT qid, {D['EXPLODE'](D['SPLIT_WS']('qtext'))} AS term
+    FROM queries
+  ) x WHERE term <> '' GROUP BY qid, term
+),
+pqd AS (
+  SELECT q.qid, q.term AS qterm, q.qtf, r.doc_id, v.w AS p_q_d
+  FROM rqt q
+  JOIN qrels r ON q.qid = r.qid
+  JOIN vec v ON v.doc_id = r.doc_id AND v.term = q.term
+),
+contrib AS (
+  SELECT p.qterm, v2.term AS coterm, p.qtf * p.p_q_d * v2.w AS c
+  FROM pqd p JOIN vec v2 ON v2.doc_id = p.doc_id
+),
+model AS (
+  SELECT qterm, coterm, SUM(c) AS wt
+  FROM contrib WHERE c > 0 GROUP BY qterm, coterm
+),
+pruned AS (
+  SELECT qterm, coterm, wt FROM (
+    SELECT qterm, coterm, wt,
+           ROW_NUMBER() OVER (
+             PARTITION BY qterm ORDER BY round(wt, 6) DESC, coterm ASC
+           ) AS r
+    FROM model
+  ) x WHERE r <= 5
+),
+qmodel AS (
+  SELECT q.qid, m.coterm, q.qtf * m.wt AS wt
+  FROM rqt q JOIN pruned m ON m.qterm = q.term
+),
+dots AS (
+  SELECT r.qid, r.doc_id, SUM(m.wt * v.w) AS dot
+  FROM run r
+  JOIN vec v ON v.doc_id = r.doc_id
+  JOIN qmodel m ON m.qid = r.qid AND m.coterm = v.term
+  GROUP BY r.qid, r.doc_id
+),
+rescored AS (
+  SELECT r.qid, r.doc_id, r.rank AS prev_rank,
+         r.score * COALESCE(d.dot, CAST(0 AS DOUBLE)) AS score
+  FROM run r LEFT JOIN dots d ON r.qid = d.qid AND r.doc_id = d.doc_id
+),
+rr AS (
+  SELECT qid, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, prev_rank ASC
+         ) AS INT) AS rank,
+         round(score, 6) AS score
+  FROM rescored
+)
+SELECT qid, doc_id, rank, score FROM rr WHERE rank <= 10
+ORDER BY qid, rank"""
     if name == "qpp_variant_spec":
         # P7 VariantSpecificity (qpp/VariantSpecificity.java) over
         # deterministic variants (VARIANTSET): per variant, a full BM25
@@ -1867,6 +1950,51 @@ def _qpp_cumnqc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid")
 
 
+def _srlm_rerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRLM contract (F8 ``srlm_fit`` + F9 ``srlm_rerank``, reference
+    ``retrieval/SupervisedRLM.java:151-270``): the real operators — LM
+    doc vectors (F7), the raw-whitespace-qterm coocc fit over the
+    synthetic qrels with the top-5 prune quirk, and the dot-product
+    rerank of the Block-Max top-100 — vs the full SQL twin in
+    ``build_sql("srlm_rerank")``. ``rank_round=6`` on both the prune
+    and the rerank ordering. First value-level oracle for the SRLM
+    family."""
+    from pyspark.sql import functions as F
+
+    from .operators.feedback import lm_doc_vectors
+    from .operators.index import build_index
+    from .operators.postings import CompactIndex, bmw_search
+    from .operators.retrieval import compile_queries
+    from .operators.srlm import srlm_fit, srlm_rerank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = build_index(docs, analyzer="simple", cache=False)
+    compact = CompactIndex.from_index(idx, n_segments=4)
+    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
+    qt = compile_queries(qdf, "simple")
+    run = bmw_search(compact, qt, k=100, rank_round=4).select(
+        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
+    )
+    m = (F.col("doc_id") + F.substring("qid", 2, 10).cast("int")) % 10
+    qrels = (
+        docs.select("doc_id").crossJoin(qdf.select("qid"))
+        .withColumn(
+            "rel",
+            F.when(m == 0, 3).when(m == 1, 2).when(m == 2, 1).otherwise(0),
+        )
+        .filter(F.col("rel") > 0)
+        .select("qid", "doc_id", "rel")
+    )
+    vecs = lm_doc_vectors(idx)
+    model = srlm_fit(vecs, qdf, qrels, num_top_terms=5, rank_round=6)
+    reranked = srlm_rerank(run, qdf, model, vecs, rank_round=6)
+    return reranked.filter(F.col("rank") <= 10).select(
+        "qid", "doc_id", "rank", F.round("score", 6).alias("score")
+    ).orderBy("qid", "rank")
+
+
 def _qpp_variant_spec_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7 VariantSpecificity contract (``qpp.variant_specificity``,
     reference ``qpp/VariantSpecificity.java``): the REAL composition —
@@ -2133,6 +2261,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["lmdir_mu_sweep"] = _lmdir_mu_sweep_query
     out["stoch_swap_perms"] = _stoch_swap_perms_query
     out["qpp_variant_spec"] = _qpp_variant_spec_query
+    out["srlm_rerank"] = _srlm_rerank_query
     return out
 
 
@@ -2171,4 +2300,7 @@ def duckdb_oracles() -> dict[str, str]:
     # the P7 variant-reference combine (per-variant retrieval + NQC +
     # top-10 Jaccard) vs a full SQL rendering
     out["qpp_variant_spec"] = build_sql("qpp_variant_spec", "duckdb")
+    # the F8+F9 supervised-RLM fit + dot-product rerank vs a full SQL
+    # rendering
+    out["srlm_rerank"] = build_sql("srlm_rerank", "duckdb")
     return out

@@ -68,11 +68,15 @@ def srlm_fit(
     qrels: DataFrame,
     num_top_terms: int = 5,
     prune_model: bool = True,
+    rank_round: int | None = None,
 ) -> DataFrame:
     """F8 -> model (qterm, coterm, wt).
 
     ``lm_vecs``: (doc_id, term, w) from feedback.lm_doc_vectors;
     ``train_queries``: (qid, qtext); ``qrels``: (qid, doc_id, rel>0 rows).
+    ``rank_round``: when set, the top-``num_top_terms`` prune ranks on
+    ``round(wt, rank_round)`` (coterm tie-break) — the contract-query
+    device; kept wt values stay raw.
     """
     qterms = raw_query_terms(train_queries)
     rel_pairs = qrels.filter(F.col("rel") > 0).select("qid", "doc_id")
@@ -100,8 +104,12 @@ def srlm_fit(
     model = contrib.groupBy("qterm", "coterm").agg(F.sum("c").alias("wt"))
     if not prune_model:
         return model
+    wt_key = (
+        F.round(F.col("wt"), rank_round)
+        if rank_round is not None else F.col("wt")
+    )
     w = Window.partitionBy("qterm").orderBy(
-        F.col("wt").desc(), F.col("coterm").asc()
+        wt_key.desc(), F.col("coterm").asc()
     )
     return (
         model.withColumn("r", F.row_number().over(w))
@@ -110,9 +118,12 @@ def srlm_fit(
     )
 
 
-def _rerank_by_dot(run: DataFrame, dots: DataFrame) -> DataFrame:
+def _rerank_by_dot(
+    run: DataFrame, dots: DataFrame, rank_round: int | None = None,
+) -> DataFrame:
     """score' = score · dot (missing dot -> 0, as the reference sums
-    nothing); resort (score' desc, prior rank asc)."""
+    nothing); resort (score' desc, prior rank asc). ``rank_round``:
+    rank on ``round(score', rank_round)`` — the contract device."""
     rescored = (
         run.select(
             "qid", "doc_id", F.col("rank").alias("prev_rank"),
@@ -124,8 +135,12 @@ def _rerank_by_dot(run: DataFrame, dots: DataFrame) -> DataFrame:
             F.col("prev_score") * F.coalesce(F.col("dot"), F.lit(0.0)),
         )
     )
+    score_key = (
+        F.round(F.col("score"), rank_round)
+        if rank_round is not None else F.col("score")
+    )
     w = Window.partitionBy("qid").orderBy(
-        F.col("score").desc(), F.col("prev_rank").asc()
+        score_key.desc(), F.col("prev_rank").asc()
     )
     return rescored.select(
         "qid", "doc_id", F.row_number().over(w).alias("rank"), "score"
@@ -137,6 +152,7 @@ def srlm_rerank(
     queries: DataFrame,
     model: DataFrame,
     lm_vecs: DataFrame,
+    rank_round: int | None = None,
 ) -> DataFrame:
     """F9 -> (qid, doc_id, rank, score)."""
     qterms = raw_query_terms(queries)
@@ -151,7 +167,7 @@ def srlm_rerank(
     ).groupBy("qid", "doc_id").agg(
         F.sum(F.col("wt") * F.col("w")).alias("dot")
     )
-    return _rerank_by_dot(run, dots)
+    return _rerank_by_dot(run, dots, rank_round=rank_round)
 
 
 def knn_centroid_rerank(
