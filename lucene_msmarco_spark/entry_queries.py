@@ -65,6 +65,22 @@ VARIANTSET: list[tuple[str, int, str]] = [
     )
 ]
 
+# Deterministic TRAINING queries for the Q10/F10 contract: each shares
+# at least one analyzed term with a QUERYSET query (so the KNN query
+# search finds real neighbors), qids continue the qN scheme (so the
+# synthetic qrels formula extends to them), and none collides with a
+# test qid (exclude_self never fires — pinned on both sides).
+KNNTRAINSET: list[tuple[str, str]] = [
+    ("q11", "join hash"),
+    ("q12", "customer line"),
+    ("q13", "window spark"),
+    ("q14", "stream vector"),
+    ("q15", "filter scan row"),
+    ("q16", "table data"),
+    ("q17", "fast small"),
+    ("q18", "merge order column"),
+]
+
 _TABLES = ("documents", "embeddings", "events", "lineitem", "orders",
            "customer", "supplier", "part", "nation", "region")
 
@@ -367,6 +383,107 @@ def _simhash_bits_sql(d: str) -> tuple[str, str]:
 # ---------------------------------------------------------------------------
 # query text builders: name -> {dialect -> sql}
 # ---------------------------------------------------------------------------
+
+def _variant_ref_ctes(d: str) -> str:
+    """Shared P7/H2 chain, appended after ``_ir_base``: per deterministic
+    variant (VARIANTSET) a full BM25 retrieval, an NQC estimate over the
+    variant's own terms, and the top-10 Jaccard similarity vs the base
+    run — surfaced as ``refs`` (qid, sim, est) — plus the base query's
+    NQC as ``bnqc`` (qid, nqc)."""
+    D = _dialect(d)
+    bm25w = (
+        "ln(1 + (g.n_docs - df + 0.5) / (df + 0.5)) * tf * 1.9 "
+        "/ (tf + 0.9 * (1 - 0.4 + 0.4 * doclen / g.avgdl))"
+    )
+    vvals = ", ".join(
+        f"('{q}', {v}, '{t}')" for q, v, t in VARIANTSET
+    )
+    return f""",
+variants AS (
+  SELECT qid, vid, vtext FROM (VALUES {vvals}) AS v(qid, vid, vtext)
+),
+vqtok AS (
+  SELECT qid, vid, {D['EXPLODE'](D['TOKENS']('vtext'))} AS term
+  FROM variants
+),
+vqterms AS (
+  SELECT qid, vid, term, CAST(COUNT(*) AS DOUBLE) AS qtf
+  FROM vqtok WHERE term NOT IN (SELECT sw FROM stopw)
+  GROUP BY qid, vid, term
+),
+vhits AS (
+  SELECT q.qid, q.vid, t.doc_id, q.qtf, t.tf, d.doclen, s.df
+  FROM vqterms q
+  JOIN tstats s ON q.term = s.term
+  JOIN tf t ON q.term = t.term
+  JOIN dstats d ON t.doc_id = d.doc_id
+),
+vscored AS (
+  SELECT qid, vid, doc_id, SUM(qtf * ({bm25w})) AS score
+  FROM vhits CROSS JOIN g
+  GROUP BY qid, vid, doc_id
+),
+vranked AS (
+  SELECT qid, vid, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY qid, vid ORDER BY round(score, 4) DESC, doc_id ASC
+         ) AS INT) AS rank,
+         round(score, 4) AS score
+  FROM vscored
+),
+vaidf AS (
+  SELECT q.qid, q.vid,
+         AVG(ln(CAST(g.n_docs AS DOUBLE)
+                / GREATEST(COALESCE(s.df, 0), 1))) AS aidf
+  FROM vqterms q LEFT JOIN tstats s ON q.term = s.term CROSS JOIN g
+  GROUP BY q.qid, q.vid
+),
+vnqcv AS (
+  SELECT qid, vid, var_pop(score) AS v
+  FROM vranked WHERE rank <= 50 GROUP BY qid, vid
+),
+vest AS (
+  SELECT nv.qid, nv.vid, nv.v * a.aidf AS est
+  FROM vnqcv nv JOIN vaidf a ON nv.qid = a.qid AND nv.vid = a.vid
+),
+b10 AS (SELECT qid, doc_id FROM ranked WHERE rank <= 10),
+v10 AS (SELECT qid, vid, doc_id FROM vranked WHERE rank <= 10),
+nasz AS (SELECT qid, COUNT(*) AS na FROM b10 GROUP BY qid),
+nbsz AS (SELECT qid, vid, COUNT(*) AS nb FROM v10 GROUP BY qid, vid),
+nisz AS (
+  SELECT v.qid, v.vid, COUNT(*) AS ni
+  FROM v10 v JOIN b10 b ON v.qid = b.qid AND v.doc_id = b.doc_id
+  GROUP BY v.qid, v.vid
+),
+sims AS (
+  SELECT nb.qid, nb.vid,
+         CASE WHEN na.na + nb.nb - COALESCE(ni.ni, 0) > 0
+              THEN CAST(COALESCE(ni.ni, 0) AS DOUBLE)
+                   / (na.na + nb.nb - COALESCE(ni.ni, 0))
+              ELSE CAST(0 AS DOUBLE) END AS sim
+  FROM nbsz nb
+  JOIN nasz na ON nb.qid = na.qid
+  LEFT JOIN nisz ni ON nb.qid = ni.qid AND nb.vid = ni.vid
+),
+refs AS (
+  SELECT e.qid, s.sim, e.est
+  FROM vest e JOIN sims s ON e.qid = s.qid AND e.vid = s.vid
+),
+bnqcv AS (
+  SELECT qid, var_pop(score) AS v FROM ranked WHERE rank <= 50 GROUP BY qid
+),
+baidf AS (
+  SELECT q.qid,
+         AVG(ln(CAST(g.n_docs AS DOUBLE)
+                / GREATEST(COALESCE(s.df, 0), 1))) AS aidf
+  FROM qterms q LEFT JOIN tstats s ON q.term = s.term CROSS JOIN g
+  GROUP BY q.qid
+),
+bnqc AS (
+  SELECT nv.qid, nv.v * a.aidf AS nqc
+  FROM bnqcv nv JOIN baidf a ON nv.qid = a.qid
+)"""
+
 
 def build_sql(name: str, d: str) -> str:
     D = _dialect(d)
@@ -809,100 +926,9 @@ ORDER BY qid, rank"""
         # overlap of the base-vs-variant top-10 doc sets (C10). Combine:
         # est = lam*coalesce(Sum sim*est / Sum sim, base) + (1-lam)*base,
         # lam = 0.5, base = the original query's NQC.
-        bm25w = (
-            "ln(1 + (g.n_docs - df + 0.5) / (df + 0.5)) * tf * 1.9 "
-            "/ (tf + 0.9 * (1 - 0.4 + 0.4 * doclen / g.avgdl))"
-        )
-        vvals = ", ".join(
-            f"('{q}', {v}, '{t}')" for q, v, t in VARIANTSET
-        )
-        return base + f""",
-variants AS (
-  SELECT qid, vid, vtext FROM (VALUES {vvals}) AS v(qid, vid, vtext)
-),
-vqtok AS (
-  SELECT qid, vid, {D['EXPLODE'](D['TOKENS']('vtext'))} AS term
-  FROM variants
-),
-vqterms AS (
-  SELECT qid, vid, term, CAST(COUNT(*) AS DOUBLE) AS qtf
-  FROM vqtok WHERE term NOT IN (SELECT sw FROM stopw)
-  GROUP BY qid, vid, term
-),
-vhits AS (
-  SELECT q.qid, q.vid, t.doc_id, q.qtf, t.tf, d.doclen, s.df
-  FROM vqterms q
-  JOIN tstats s ON q.term = s.term
-  JOIN tf t ON q.term = t.term
-  JOIN dstats d ON t.doc_id = d.doc_id
-),
-vscored AS (
-  SELECT qid, vid, doc_id, SUM(qtf * ({bm25w})) AS score
-  FROM vhits CROSS JOIN g
-  GROUP BY qid, vid, doc_id
-),
-vranked AS (
-  SELECT qid, vid, doc_id,
-         CAST(ROW_NUMBER() OVER (
-           PARTITION BY qid, vid ORDER BY round(score, 4) DESC, doc_id ASC
-         ) AS INT) AS rank,
-         round(score, 4) AS score
-  FROM vscored
-),
-vaidf AS (
-  SELECT q.qid, q.vid,
-         AVG(ln(CAST(g.n_docs AS DOUBLE)
-                / GREATEST(COALESCE(s.df, 0), 1))) AS aidf
-  FROM vqterms q LEFT JOIN tstats s ON q.term = s.term CROSS JOIN g
-  GROUP BY q.qid, q.vid
-),
-vnqcv AS (
-  SELECT qid, vid, var_pop(score) AS v
-  FROM vranked WHERE rank <= 50 GROUP BY qid, vid
-),
-vest AS (
-  SELECT nv.qid, nv.vid, nv.v * a.aidf AS est
-  FROM vnqcv nv JOIN vaidf a ON nv.qid = a.qid AND nv.vid = a.vid
-),
-b10 AS (SELECT qid, doc_id FROM ranked WHERE rank <= 10),
-v10 AS (SELECT qid, vid, doc_id FROM vranked WHERE rank <= 10),
-nasz AS (SELECT qid, COUNT(*) AS na FROM b10 GROUP BY qid),
-nbsz AS (SELECT qid, vid, COUNT(*) AS nb FROM v10 GROUP BY qid, vid),
-nisz AS (
-  SELECT v.qid, v.vid, COUNT(*) AS ni
-  FROM v10 v JOIN b10 b ON v.qid = b.qid AND v.doc_id = b.doc_id
-  GROUP BY v.qid, v.vid
-),
-sims AS (
-  SELECT nb.qid, nb.vid,
-         CASE WHEN na.na + nb.nb - COALESCE(ni.ni, 0) > 0
-              THEN CAST(COALESCE(ni.ni, 0) AS DOUBLE)
-                   / (na.na + nb.nb - COALESCE(ni.ni, 0))
-              ELSE CAST(0 AS DOUBLE) END AS sim
-  FROM nbsz nb
-  JOIN nasz na ON nb.qid = na.qid
-  LEFT JOIN nisz ni ON nb.qid = ni.qid AND nb.vid = ni.vid
-),
-refs AS (
-  SELECT e.qid, s.sim, e.est
-  FROM vest e JOIN sims s ON e.qid = s.qid AND e.vid = s.vid
-),
+        return base + _variant_ref_ctes(d) + """,
 wavg AS (
   SELECT qid, SUM(sim * est) / SUM(sim) AS wref FROM refs GROUP BY qid
-),
-bnqcv AS (
-  SELECT qid, var_pop(score) AS v FROM ranked WHERE rank <= 50 GROUP BY qid
-),
-baidf AS (
-  SELECT q.qid,
-         AVG(ln(CAST(g.n_docs AS DOUBLE)
-                / GREATEST(COALESCE(s.df, 0), 1))) AS aidf
-  FROM qterms q LEFT JOIN tstats s ON q.term = s.term CROSS JOIN g
-  GROUP BY q.qid
-),
-bnqc AS (
-  SELECT nv.qid, nv.v * a.aidf AS nqc
-  FROM bnqcv nv JOIN baidf a ON nv.qid = a.qid
 )
 SELECT b.qid,
        round(0.5 * COALESCE(w.wref, b.nqc) + (1.0 - 0.5) * b.nqc, 6) AS est
@@ -1117,6 +1143,326 @@ topm AS (
 )
 SELECT qid, term, CAST(1.0 AS DOUBLE) AS qtf, round(weight, 6) AS weight
 FROM topm WHERE r <= 20 ORDER BY qid, term"""
+    if name == "bm25_boosted_topk":
+        # Q2 boosted/weighted query terms (retrieval/MsMarcoQuery.java
+        # setBoost path; the engine's ``weight`` column on compiled
+        # terms, operators/retrieval.score_contributions): per-term
+        # deterministic boost 1 + (length(term) % 3) * 0.5 multiplies
+        # the BM25 contribution alongside qtf. Top-10 under the round-4
+        # total order (doc tie-break).
+        bm25w = (
+            "ln(1 + (g.n_docs - df + 0.5) / (df + 0.5)) * tf * 1.9 "
+            "/ (tf + 0.9 * (1 - 0.4 + 0.4 * doclen / g.avgdl))"
+        )
+        return base + f""",
+bqterms AS (
+  SELECT qid, term, qtf,
+         1.0 + (length(term) % 3) * 0.5 AS boost
+  FROM qterms
+),
+bhits AS (
+  SELECT q.qid, t.doc_id, q.qtf, q.boost, t.tf, d.doclen, s.df
+  FROM bqterms q
+  JOIN tstats s ON q.term = s.term
+  JOIN tf t ON q.term = t.term
+  JOIN dstats d ON t.doc_id = d.doc_id
+),
+bscored AS (
+  SELECT qid, doc_id, SUM(({bm25w}) * qtf * boost) AS score
+  FROM bhits CROSS JOIN g
+  GROUP BY qid, doc_id
+),
+branked AS (
+  SELECT qid, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY round(score, 4) DESC, doc_id ASC
+         ) AS INT) AS rank,
+         round(score, 4) AS score
+  FROM bscored
+)
+SELECT qid, doc_id, rank, score FROM branked
+WHERE rank <= 10 ORDER BY qid, rank"""
+    if name == "qpp_corr_pack":
+        # C3-C7 correlation kernels over the H1 vectors (x = per-query
+        # AP rounded 4, y = NQC rounded 6, qid order = the vectors'
+        # original order): C3 RMSE with the reference quirk that pred
+        # is min-max normalized ONLY when max(pred) > 1 (C6 normalizer),
+        # C4 pairwise sign accuracy over i<j pairs, C5 quantized
+        # similarity / strict match / per-class accuracy (5 buckets,
+        # floor(minmax*5) clamped to 4), C7 SARE (mean |score-sort
+        # position delta| / n; stable sort = value ASC, original-order
+        # tie-break) and SARC = 1 - SARE. One collection-level row.
+        return (
+            base + "," + QRELS_CTE + "," + EVAL_BODY + """,
+nqcv AS (
+  SELECT qid, var_pop(score) AS v FROM run WHERE rank <= 50 GROUP BY qid
+),
+aidf AS (
+  SELECT q.qid,
+         AVG(ln(CAST(g.n_docs AS DOUBLE)
+                / GREATEST(COALESCE(s.df, 0), 1))) AS aidf
+  FROM qterms q LEFT JOIN tstats s ON q.term = s.term CROSS JOIN g
+  GROUP BY q.qid
+),
+m AS (
+  SELECT p.qid, p.ap AS x,
+         round(COALESCE(nv.v, 0) * ai.aidf, 6) AS y
+  FROM permetrics p
+  JOIN aidf ai ON p.qid = ai.qid
+  LEFT JOIN nqcv nv ON p.qid = nv.qid
+),
+mmx AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM m),
+mmy AS (SELECT MIN(y) AS lo, MAX(y) AS hi FROM m),
+normed AS (
+  SELECT m.qid, m.x, m.y,
+         CASE WHEN my.hi > 1 THEN (m.y - my.lo) / (my.hi - my.lo)
+              ELSE m.y END AS yn,
+         LEAST(CAST(floor((m.x - mx.lo) / (mx.hi - mx.lo) * 5) AS INT),
+               4) AS qg,
+         LEAST(CAST(floor((m.y - my.lo) / (my.hi - my.lo) * 5) AS INT),
+               4) AS qp
+  FROM m CROSS JOIN mmx mx CROSS JOIN mmy my
+),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM m),
+rmse_c AS (SELECT sqrt(AVG((x - yn) * (x - yn))) AS rmse FROM normed),
+pw AS (
+  SELECT AVG(CASE WHEN SIGN(a.x - b.x) = SIGN(a.y - b.y)
+                  THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+           AS pw_acc
+  FROM m a JOIN m b ON a.qid < b.qid
+),
+qs AS (
+  SELECT 1.0 - SUM(ABS(CAST(qg - qp AS DOUBLE)))
+               / (4.0 * (SELECT n FROM nn)) AS q_sim,
+         AVG(CASE WHEN qg = qp THEN CAST(1 AS DOUBLE)
+                  ELSE CAST(0 AS DOUBLE) END) AS q_strict
+  FROM normed
+),
+qcls AS (
+  SELECT qg, AVG(CASE WHEN qp = qg THEN CAST(1 AS DOUBLE)
+                      ELSE CAST(0 AS DOUBLE) END) AS acc
+  FROM normed GROUP BY qg
+),
+qca AS (SELECT AVG(acc) AS q_class FROM qcls),
+pos AS (
+  SELECT qid,
+         ROW_NUMBER() OVER (ORDER BY x, qid) - 1 AS px,
+         ROW_NUMBER() OVER (ORDER BY y, qid) - 1 AS py
+  FROM m
+),
+sr AS (
+  SELECT AVG(ABS(CAST(px - py AS DOUBLE))) / (SELECT n FROM nn) AS sare
+  FROM pos
+)
+SELECT round(rmse_c.rmse, 6) AS rmse,
+       round(pw.pw_acc, 6) AS pw_acc,
+       round(qs.q_sim, 6) AS q_sim,
+       round(qs.q_strict, 6) AS q_strict,
+       round(qca.q_class, 6) AS q_class,
+       round(sr.sare, 6) AS sare,
+       round(1.0 - sr.sare, 6) AS sarc
+FROM rmse_c CROSS JOIN pw CROSS JOIN qs CROSS JOIN qca CROSS JOIN sr"""
+        )
+    if name == "qpp_lambda_grid":
+        # H2 grid_search_lambda (operators/experiments.py; the qpp_eval
+        # tuning drivers): for each lambda on the grid, the P7 combine
+        # est = lam*coalesce(Sum sim*est / Sum sim, nqc) + (1-lam)*nqc
+        # over ROUND-6 refs and base NQC — both engines then see
+        # identical doubles, and the two-multiply-one-add combine (and
+        # the <=2-element weighted average) is bit-identical IEEE — then
+        # Kendall tau-b of est against per-query AP (rounded 4). Output:
+        # one (lam, tau) row per grid point.
+        return (
+            base + "," + QRELS_CTE + "," + EVAL_BODY
+            + _variant_ref_ctes(d) + """,
+refs_r AS (
+  SELECT qid, round(sim, 6) AS sim, round(est, 6) AS est FROM refs
+),
+wavg_r AS (
+  SELECT qid, SUM(sim * est) / SUM(sim) AS wref FROM refs_r GROUP BY qid
+),
+bnqc_r AS (SELECT qid, round(nqc, 6) AS nqc FROM bnqc),
+grid AS (
+  SELECT CAST(lam AS DOUBLE) AS lam
+  FROM (VALUES (0.0), (0.25), (0.5), (0.75), (1.0)) AS gl(lam)
+),
+comb AS (
+  SELECT g.lam, b.qid,
+         g.lam * COALESCE(w.wref, b.nqc) + (1.0 - g.lam) * b.nqc AS est
+  FROM bnqc_r b LEFT JOIN wavg_r w ON b.qid = w.qid CROSS JOIN grid g
+),
+mg AS (
+  SELECT c.lam, c.qid, p.ap AS x, c.est AS y
+  FROM comb c JOIN permetrics p ON c.qid = p.qid
+),
+prg AS (
+  SELECT a.lam, SIGN(a.x - b.x) AS dx, SIGN(a.y - b.y) AS dy
+  FROM mg a JOIN mg b ON a.lam = b.lam AND a.qid < b.qid
+),
+tbg AS (
+  SELECT lam,
+         SUM(CASE WHEN dx * dy > 0 THEN CAST(1 AS DOUBLE) ELSE 0 END)
+           AS conc,
+         SUM(CASE WHEN dx * dy < 0 THEN CAST(1 AS DOUBLE) ELSE 0 END)
+           AS disc,
+         SUM(CASE WHEN dx = 0 THEN CAST(1 AS DOUBLE) ELSE 0 END) AS tx,
+         SUM(CASE WHEN dy = 0 THEN CAST(1 AS DOUBLE) ELSE 0 END) AS ty,
+         CAST(COUNT(*) AS DOUBLE) AS n0
+  FROM prg GROUP BY lam
+)
+SELECT lam, round((conc - disc) / sqrt((n0 - tx) * (n0 - ty)), 4) AS tau
+FROM tbg ORDER BY lam"""
+        )
+    if name == "srlm_knn_rerank":
+        # Q10+F10 (retrieval/KNNRelModel.java:56-128 getKNNQueries;
+        # fdbk KNN-centroid rerank): a queries-as-documents LM-Dirichlet
+        # index over KNNTRAINSET (mu=1000; FOLD applied — the docs-side
+        # T2 quirk), top-2 neighbors per test query (round-4 rank order,
+        # self-exclusion pinned trivially true, sims normalized to sum 1
+        # and rounded 6); centroid = L2-normalized Sum sim*(rel-doc LM
+        # vector) over the neighbors' synthetic qrels; candidates = the
+        # BM25 top-20 rescored by score*dot (missing dot -> 0), round-6
+        # rank key with previous-rank tie-break, top-10 surfaced.
+        qdvals = ", ".join(
+            f"({i}, '{qid}', '{txt}')"
+            for i, (qid, txt) in enumerate(KNNTRAINSET)
+        )
+        lmw = ("greatest(ln(1 + tf / (1000.0 * cf / qdg.total_cf)) "
+               "+ ln(1000.0 / (doclen + 1000.0)), CAST(0 AS DOUBLE))")
+        return base + f""",
+qdocs AS (
+  SELECT doc_id, ref_qid, qtext AS text
+  FROM (VALUES {qdvals}) AS qd(doc_id, ref_qid, qtext)
+),
+kqrels AS (
+  SELECT qid, doc_id, rel FROM (
+    SELECT q.ref_qid AS qid, d.doc_id,
+           CASE CAST((d.doc_id + CAST(substr(q.ref_qid, 2) AS INT)) % 10
+                     AS INT)
+             WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 1 ELSE 0 END AS rel
+    FROM documents d CROSS JOIN qdocs q
+  ) x WHERE rel > 0
+),
+qdtok AS (
+  SELECT doc_id, {D['EXPLODE'](D['TOKENS'](D['FOLD']('text')))} AS term
+  FROM qdocs
+),
+qdtokf AS (
+  SELECT doc_id, term FROM qdtok
+  WHERE term NOT IN (SELECT sw FROM stopw)
+),
+qdtf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM qdtokf GROUP BY doc_id, term
+),
+qdstats AS (
+  SELECT d.doc_id, CAST(COALESCE(SUM(t.tf), 0) AS BIGINT) AS doclen
+  FROM qdocs d LEFT JOIN qdtf t ON d.doc_id = t.doc_id
+  GROUP BY d.doc_id
+),
+qdterm AS (
+  SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM qdtf GROUP BY term
+),
+qdg AS (SELECT CAST(SUM(doclen) AS BIGINT) AS total_cf FROM qdstats),
+knnhits AS (
+  SELECT q.qid, t.doc_id, q.qtf, t.tf, d.doclen, s.cf
+  FROM qterms q
+  JOIN qdterm s ON q.term = s.term
+  JOIN qdtf t ON q.term = t.term
+  JOIN qdstats d ON t.doc_id = d.doc_id
+),
+knnscored AS (
+  SELECT qid, doc_id, SUM(qtf * ({lmw})) AS score
+  FROM knnhits CROSS JOIN qdg
+  GROUP BY qid, doc_id
+),
+knnranked AS (
+  SELECT qid, doc_id, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY round(score, 4) DESC, doc_id ASC
+         ) AS INT) AS rank
+  FROM knnscored
+),
+knnsel AS (
+  SELECT r.qid, d.ref_qid, r.score, r.rank
+  FROM knnranked r JOIN qdocs d ON r.doc_id = d.doc_id
+  WHERE r.rank <= 3 AND r.qid <> d.ref_qid
+),
+knntop AS (
+  SELECT qid, ref_qid, score,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rank) AS r2
+  FROM knnsel
+),
+knn AS (
+  SELECT k.qid, k.ref_qid, round(k.score / z.z, 6) AS sim
+  FROM (SELECT qid, ref_qid, score FROM knntop WHERE r2 <= 2) k
+  JOIN (
+    SELECT qid, SUM(score) AS z FROM knntop WHERE r2 <= 2 GROUP BY qid
+  ) z ON k.qid = z.qid
+),
+krun AS (SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 20),
+relref AS (
+  SELECT k.qid, k.ref_qid, k.sim, s.doc_id
+  FROM knn k JOIN kqrels s ON s.qid = k.ref_qid AND s.rel > 0
+),
+kfdocs AS (
+  SELECT doc_id FROM relref UNION SELECT doc_id FROM krun
+),
+vraw AS (
+  SELECT t.doc_id, t.term,
+         ln(1.0 + (0.9 / (1.0 - 0.9))
+            * (CAST(t.tf AS DOUBLE) / ds.doclen)
+            * (CAST(g.n_docs AS DOUBLE) / s.df)) AS w_raw
+  FROM tf t
+  JOIN dstats ds ON t.doc_id = ds.doc_id
+  JOIN tstats s ON t.term = s.term
+  CROSS JOIN g
+  WHERE t.doc_id IN (SELECT doc_id FROM kfdocs)
+),
+vnorms AS (
+  SELECT doc_id, sqrt(SUM(w_raw * w_raw)) AS l2 FROM vraw GROUP BY doc_id
+),
+vec AS (
+  SELECT v.doc_id, v.term, v.w_raw / n.l2 AS w
+  FROM vraw v JOIN vnorms n ON v.doc_id = n.doc_id
+),
+kweighted AS (
+  SELECT r.qid, v.term, r.sim * v.w AS c
+  FROM relref r JOIN vec v ON v.doc_id = r.doc_id
+),
+kcentroid AS (
+  SELECT qid, term, SUM(c) AS c FROM kweighted GROUP BY qid, term
+),
+knorm AS (
+  SELECT qid, sqrt(SUM(c * c)) AS l2 FROM kcentroid GROUP BY qid
+),
+kcw AS (
+  SELECT c.qid, c.term, c.c / n.l2 AS cw
+  FROM kcentroid c JOIN knorm n ON c.qid = n.qid
+),
+kdots AS (
+  SELECT r.qid, r.doc_id, SUM(k.cw * v.w) AS dot
+  FROM krun r
+  JOIN vec v ON v.doc_id = r.doc_id
+  JOIN kcw k ON k.qid = r.qid AND k.term = v.term
+  GROUP BY r.qid, r.doc_id
+),
+krescored AS (
+  SELECT r.qid, r.doc_id, r.rank AS prev_rank,
+         r.score * COALESCE(d.dot, CAST(0 AS DOUBLE)) AS score
+  FROM krun r
+  LEFT JOIN kdots d ON r.qid = d.qid AND r.doc_id = d.doc_id
+),
+krr AS (
+  SELECT qid, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, prev_rank ASC
+         ) AS INT) AS rank,
+         round(score, 6) AS score
+  FROM krescored
+)
+SELECT qid, doc_id, rank, score FROM krr WHERE rank <= 10
+ORDER BY qid, rank"""
     if name == "qpp_eval_corr":
         # H1 QPP-evaluation harness (qpp_eval/* drivers; correlation
         # kernels utils/TauCorrelation.java / commons-math3): per-query
@@ -2246,6 +2592,240 @@ def _qpp_eval_corr_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_boosted_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 boosted-terms contract (``retrieval.score_contributions``
+    ``weight`` column; reference ``retrieval/MsMarcoQuery.java`` boost
+    path): the real engine search over precompiled terms carrying a
+    deterministic per-term boost 1 + (len(term) % 3)·0.5, vs the SQL
+    twin in ``build_sql("bm25_boosted_topk")``. ``rank_round=4`` pins
+    the top-10 membership on both sides."""
+    from pyspark.sql import functions as F
+
+    from .operators.index import build_index
+    from .operators.retrieval import compile_queries, search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = build_index(docs, analyzer="simple", cache=False)
+    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
+    qt = compile_queries(qdf, "simple").withColumn(
+        "weight",
+        F.lit(1.0) + (F.length("term") % 3).cast("double") * F.lit(0.5),
+    )
+    run = search(idx, None, model="bm25", k=10, precompiled_terms=qt,
+                 rank_round=4)
+    return run.select(
+        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
+    ).orderBy("qid", "rank")
+
+
+def _qpp_corr_pack_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3-C7 kernel contract: the REAL driver-side kernels
+    (``correlation.rmse`` with the normalize-pred-only-when-max>1 quirk,
+    ``pairwise_accuracy``, the three ``quantized_*`` metrics,
+    ``sare``/``sarc``) over the H1 vectors (AP rounded 4 x NQC rounded
+    6, qid-ordered), vs the full SQL twin in
+    ``build_sql("qpp_corr_pack")``. Value-pins the min-max normalizer
+    (C6), the 5-bucket quantizer clamp, and the stable-sort SARE
+    positions that the pytest suite covers only against the pure-Python
+    oracle."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from .operators.correlation import (
+        pairwise_accuracy,
+        quantized_class_accuracy,
+        quantized_sim,
+        quantized_strict_match,
+        rmse,
+        sarc,
+        sare,
+    )
+    from .operators.eval import per_query_metrics
+    from .operators.index import build_index
+    from .operators.postings import CompactIndex, bmw_search
+    from .operators.qpp import nqc, query_idf_stats
+    from .operators.retrieval import compile_queries
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = build_index(docs, analyzer="simple", cache=False)
+    compact = CompactIndex.from_index(idx, n_segments=4)
+    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
+    qt = compile_queries(qdf, "simple")
+    run = bmw_search(compact, qt, k=100, rank_round=4).select(
+        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
+    )
+    m = (F.col("doc_id") + F.substring("qid", 2, 10).cast("int")) % 10
+    qrels = (
+        docs.select("doc_id").crossJoin(qdf.select("qid"))
+        .withColumn(
+            "rel",
+            F.when(m == 0, 3).when(m == 1, 2).when(m == 2, 1).otherwise(0),
+        )
+        .filter(F.col("rel") > 0)
+        .select("qid", "doc_id", "rel")
+    )
+    metrics = per_query_metrics(run, qrels)
+    stats = query_idf_stats(qt, idx.term_stats, idx.stats.n_docs)
+    est = nqc(run, stats, k=50)
+    rows = (
+        metrics.select("qid", F.round("ap", 4).alias("x"))
+        .join(est.select("qid", F.round("nqc", 6).alias("y")), "qid")
+        .orderBy("qid")
+        .collect()
+    )
+    gt = np.array([r["x"] for r in rows])
+    pred = np.array([r["y"] for r in rows])
+    out = [(
+        round(float(rmse(gt, pred)), 6),
+        round(float(pairwise_accuracy(gt, pred)), 6),
+        round(float(quantized_sim(gt, pred)), 6),
+        round(float(quantized_strict_match(gt, pred)), 6),
+        round(float(quantized_class_accuracy(gt, pred)), 6),
+        round(float(sare(gt, pred)), 6),
+        round(float(sarc(gt, pred)), 6),
+    )]
+    return spark.createDataFrame(
+        out,
+        "rmse double, pw_acc double, q_sim double, q_strict double, "
+        "q_class double, sare double, sarc double",
+    )
+
+
+def _qpp_lambda_grid_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2 contract (``experiments.grid_search_lambda``): the REAL grid
+    driver — per lambda, the P7 ``variant_specificity`` combine over
+    round-6 refs/base NQC, Kendall tau-b against round-4 AP via the real
+    ``kendall_tau`` kernel — vs the full SQL twin in
+    ``build_sql("qpp_lambda_grid")``. Pre-rounding both combine inputs
+    makes the two-multiply-one-add combine bit-identical IEEE across
+    engines, so the taus match exactly."""
+    from pyspark.sql import functions as F
+
+    from .operators.correlation import jaccard_overlap_df
+    from .operators.eval import per_query_metrics
+    from .operators.experiments import grid_search_lambda
+    from .operators.index import build_index
+    from .operators.postings import CompactIndex, bmw_search
+    from .operators.qpp import nqc, query_idf_stats
+    from .operators.retrieval import compile_queries
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = build_index(docs, analyzer="simple", cache=False)
+    compact = CompactIndex.from_index(idx, n_segments=4)
+    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
+    qt = compile_queries(qdf, "simple")
+    run = bmw_search(compact, qt, k=100, rank_round=4).select(
+        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
+    )
+    stats = query_idf_stats(qt, idx.term_stats, idx.stats.n_docs)
+    base_nqc = nqc(run, stats, k=50).select(
+        "qid", F.round("nqc", 6).alias("nqc")
+    )
+    refs = None
+    for vid in (1, 2):
+        vqdf = spark.createDataFrame(
+            [(q, t) for q, v, t in VARIANTSET if v == vid],
+            "qid string, qtext string",
+        )
+        vqt = compile_queries(vqdf, "simple")
+        vrun = bmw_search(compact, vqt, k=100, rank_round=4).select(
+            "qid", "doc_id", "rank", F.round("score", 4).alias("score")
+        )
+        vstats = query_idf_stats(vqt, idx.term_stats, idx.stats.n_docs)
+        vest = nqc(vrun, vstats, k=50)
+        sim = jaccard_overlap_df(run, vrun, k=10)
+        r = vest.join(sim, "qid").select(
+            "qid",
+            F.round(F.col("jaccard"), 6).alias("sim"),
+            F.round(F.col("nqc"), 6).alias("est"),
+        )
+        refs = r if refs is None else refs.unionByName(r)
+    m = (F.col("doc_id") + F.substring("qid", 2, 10).cast("int")) % 10
+    qrels = (
+        docs.select("doc_id").crossJoin(qdf.select("qid"))
+        .withColumn(
+            "rel",
+            F.when(m == 0, 3).when(m == 1, 2).when(m == 2, 1).otherwise(0),
+        )
+        .filter(F.col("rel") > 0)
+        .select("qid", "doc_id", "rel")
+    )
+    metrics = per_query_metrics(run, qrels).select(
+        "qid", F.round("ap", 4).alias("ap")
+    )
+    res = grid_search_lambda(
+        base_nqc, "nqc", refs, metrics, "ap",
+        lambdas=(0.0, 0.25, 0.5, 0.75, 1.0),
+    )
+    rows = [(lam, round(t, 4)) for lam, t in sorted(res["taus"].items())]
+    return spark.createDataFrame(
+        rows, "lam double, tau double"
+    ).orderBy("lam")
+
+
+def _srlm_knn_rerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10+F10 contract (``srlm.knn_query_search`` +
+    ``srlm.knn_centroid_rerank``, reference
+    ``retrieval/KNNRelModel.java:56-128``): a real queries-as-documents
+    LM-Dirichlet index over KNNTRAINSET, the real KNN neighbor search
+    (top-2, sims sum-normalized then rounded 6), and the real centroid
+    rerank (L2-normalized sim-weighted rel-doc LM vectors, dot-product
+    rescore) over the BM25 top-20, vs the full SQL twin in
+    ``build_sql("srlm_knn_rerank")``. ``rank_round`` 4 (retrievals) / 6
+    (rerank) pin the orders on both sides."""
+    from pyspark.sql import functions as F
+
+    from .operators.feedback import lm_doc_vectors
+    from .operators.index import build_index
+    from .operators.retrieval import search
+    from .operators.srlm import knn_centroid_rerank, knn_query_search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = build_index(docs, analyzer="simple", cache=False)
+    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
+    qdocs = spark.createDataFrame(
+        [(i, qid, txt) for i, (qid, txt) in enumerate(KNNTRAINSET)],
+        "doc_id long, ref_qid string, text string",
+    )
+    qidx = build_index(qdocs, analyzer="simple", cache=False)
+    knn = knn_query_search(
+        qidx, qdf, k=2, model="lmdir", rank_round=4
+    ).select("qid", "ref_qid", F.round("sim", 6).alias("sim"))
+    run = search(idx, qdf, model="bm25", k=20, rank_round=4).select(
+        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
+    )
+    m = (F.col("doc_id") + F.substring("qid", 2, 10).cast("int")) % 10
+    kqrels = (
+        docs.select("doc_id")
+        .crossJoin(qdocs.select(F.col("ref_qid").alias("qid")))
+        .withColumn(
+            "rel",
+            F.when(m == 0, 3).when(m == 1, 2).when(m == 2, 1).otherwise(0),
+        )
+        .filter(F.col("rel") > 0)
+        .select("qid", "doc_id", "rel")
+    )
+    rel_docs = kqrels.select(F.col("qid").alias("ref_qid"), "doc_id")
+    fdocs = (
+        knn.join(rel_docs, "ref_qid").select("doc_id")
+        .union(run.select("doc_id"))
+        .distinct()
+    )
+    vecs = lm_doc_vectors(idx, doc_ids=fdocs)
+    out = knn_centroid_rerank(run, knn, kqrels, vecs, rank_round=6)
+    return out.filter(F.col("rank") <= 10).select(
+        "qid", "doc_id", "rank", F.round("score", 6).alias("score")
+    ).orderBy("qid", "rank")
+
+
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {n: make_spark_query(n) for n in QUERY_NAMES}
     out["bmw_topk"] = _bmw_topk_query
@@ -2262,6 +2842,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["stoch_swap_perms"] = _stoch_swap_perms_query
     out["qpp_variant_spec"] = _qpp_variant_spec_query
     out["srlm_rerank"] = _srlm_rerank_query
+    out["bm25_boosted_topk"] = _bm25_boosted_topk_query
+    out["qpp_corr_pack"] = _qpp_corr_pack_query
+    out["qpp_lambda_grid"] = _qpp_lambda_grid_query
+    out["srlm_knn_rerank"] = _srlm_knn_rerank_query
     return out
 
 
@@ -2303,4 +2887,13 @@ def duckdb_oracles() -> dict[str, str]:
     # the F8+F9 supervised-RLM fit + dot-product rerank vs a full SQL
     # rendering
     out["srlm_rerank"] = build_sql("srlm_rerank", "duckdb")
+    # Q2 boosted terms through the real weight-column search path
+    out["bm25_boosted_topk"] = build_sql("bm25_boosted_topk", "duckdb")
+    # the C3-C7 driver-side kernels (RMSE quirk, pairwise, quantized,
+    # SARE/SARC) over the H1 vectors vs a full SQL rendering
+    out["qpp_corr_pack"] = build_sql("qpp_corr_pack", "duckdb")
+    # the H2 lambda-grid driver (per-lambda P7 combine + Kendall tau-b)
+    out["qpp_lambda_grid"] = build_sql("qpp_lambda_grid", "duckdb")
+    # the Q10 KNN query search + F10 KNN-centroid rerank chain
+    out["srlm_knn_rerank"] = build_sql("srlm_knn_rerank", "duckdb")
     return out

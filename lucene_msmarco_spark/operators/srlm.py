@@ -175,10 +175,12 @@ def knn_centroid_rerank(
     knn_queries: DataFrame,
     qrels: DataFrame,
     lm_vecs: DataFrame,
+    rank_round: int | None = None,
 ) -> DataFrame:
     """F10 -> reranked run. ``knn_queries``: (qid, ref_qid, sim) — the
     K nearest training queries of each test query with their similarity
-    to the original (``simWithOrig``)."""
+    to the original (``simWithOrig``). ``rank_round``: rank the rerank
+    on ``round(score', rank_round)`` (the contract-query device, as F9)."""
     rel_docs = qrels.filter(F.col("rel") > 0).select(
         F.col("qid").alias("ref_qid"), "doc_id"
     )
@@ -196,7 +198,7 @@ def knn_centroid_rerank(
     dots = cand_vecs.join(centroid, ["qid", "term"]).groupBy(
         "qid", "doc_id"
     ).agg(F.sum(F.col("cw") * F.col("w")).alias("dot"))
-    return _rerank_by_dot(run, dots)
+    return _rerank_by_dot(run, dots, rank_round=rank_round)
 
 
 def knn_pseudo_rel_rerank(
@@ -251,16 +253,20 @@ def knn_query_search(
     model: str = "lmdir",
     cfg: EngineConfig = EngineConfig(),
     exclude_self: bool = True,
+    rank_round: int | None = None,
 ) -> DataFrame:
     """Q10 — retrieve the top-k nearest TRAINING queries for each test
     query from a queries-as-documents index (``retrieval/
     MsMarcoQuery.java:85-113``, ``KNNRelModel.java:56-62,102-128``), with
     similarities normalized to sum 1 per test query. ``query_index``:
     an index built over (doc_id=train row id, text=train qtext) with a
-    ``ref_qid`` column on its docs table. Returns (qid, ref_qid, sim)."""
+    ``ref_qid`` column on its docs table. Returns (qid, ref_qid, sim).
+    ``rank_round``: neighbor selection ranks on the rounded retrieval
+    score (the contract-query device)."""
     from .retrieval import search as _search
 
-    run = _search(query_index, test_queries, model=model, k=k + 1, cfg=cfg)
+    run = _search(query_index, test_queries, model=model, k=k + 1, cfg=cfg,
+                  rank_round=rank_round)
     mapped = run.join(
         query_index.docs.select("doc_id", "ref_qid"), "doc_id"
     )
