@@ -485,6 +485,92 @@ bnqc AS (
 )"""
 
 
+def _knn_ctes(d: str) -> str:
+    """Shared Q10 chain, appended after ``_ir_base``: the KNNTRAINSET
+    queries-as-documents LM-Dirichlet index (mu=1000, docs-side FOLD),
+    the top-2 neighbor search per test query — surfaced as ``knn``
+    (qid, ref_qid, sim rounded 6) — plus the training queries' synthetic
+    qrels as ``kqrels`` (qid, doc_id, rel)."""
+    D = _dialect(d)
+    qdvals = ", ".join(
+        f"({i}, '{qid}', '{txt}')"
+        for i, (qid, txt) in enumerate(KNNTRAINSET)
+    )
+    lmw = ("greatest(ln(1 + tf / (1000.0 * cf / qdg.total_cf)) "
+           "+ ln(1000.0 / (doclen + 1000.0)), CAST(0 AS DOUBLE))")
+    return f""",
+qdocs AS (
+  SELECT doc_id, ref_qid, qtext AS text
+  FROM (VALUES {qdvals}) AS qd(doc_id, ref_qid, qtext)
+),
+kqrels AS (
+  SELECT qid, doc_id, rel FROM (
+    SELECT q.ref_qid AS qid, d.doc_id,
+           CASE CAST((d.doc_id + CAST(substr(q.ref_qid, 2) AS INT)) % 10
+                     AS INT)
+             WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 1 ELSE 0 END AS rel
+    FROM documents d CROSS JOIN qdocs q
+  ) x WHERE rel > 0
+),
+qdtok AS (
+  SELECT doc_id, {D['EXPLODE'](D['TOKENS'](D['FOLD']('text')))} AS term
+  FROM qdocs
+),
+qdtokf AS (
+  SELECT doc_id, term FROM qdtok
+  WHERE term NOT IN (SELECT sw FROM stopw)
+),
+qdtf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM qdtokf GROUP BY doc_id, term
+),
+qdstats AS (
+  SELECT d.doc_id, CAST(COALESCE(SUM(t.tf), 0) AS BIGINT) AS doclen
+  FROM qdocs d LEFT JOIN qdtf t ON d.doc_id = t.doc_id
+  GROUP BY d.doc_id
+),
+qdterm AS (
+  SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM qdtf GROUP BY term
+),
+qdg AS (SELECT CAST(SUM(doclen) AS BIGINT) AS total_cf FROM qdstats),
+knnhits AS (
+  SELECT q.qid, t.doc_id, q.qtf, t.tf, d.doclen, s.cf
+  FROM qterms q
+  JOIN qdterm s ON q.term = s.term
+  JOIN qdtf t ON q.term = t.term
+  JOIN qdstats d ON t.doc_id = d.doc_id
+),
+knnscored AS (
+  SELECT qid, doc_id, SUM(qtf * ({lmw})) AS score
+  FROM knnhits CROSS JOIN qdg
+  GROUP BY qid, doc_id
+),
+knnranked AS (
+  SELECT qid, doc_id, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY round(score, 4) DESC, doc_id ASC
+         ) AS INT) AS rank
+  FROM knnscored
+),
+knnsel AS (
+  SELECT r.qid, d.ref_qid, r.score, r.rank
+  FROM knnranked r JOIN qdocs d ON r.doc_id = d.doc_id
+  WHERE r.rank <= 3 AND r.qid <> d.ref_qid
+),
+knntop AS (
+  SELECT qid, ref_qid, score,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rank) AS r2
+  FROM knnsel
+),
+knn AS (
+  SELECT k.qid, k.ref_qid, round(k.score / z.z, 6) AS sim
+  FROM (SELECT qid, ref_qid, score FROM knntop WHERE r2 <= 2) k
+  JOIN (
+    SELECT qid, SUM(score) AS z FROM knntop WHERE r2 <= 2 GROUP BY qid
+  ) z ON k.qid = z.qid
+)"""
+
+
 def build_sql(name: str, d: str) -> str:
     D = _dialect(d)
     base = _ir_base(d)
@@ -1323,83 +1409,7 @@ FROM tbg ORDER BY lam"""
         # vector) over the neighbors' synthetic qrels; candidates = the
         # BM25 top-20 rescored by score*dot (missing dot -> 0), round-6
         # rank key with previous-rank tie-break, top-10 surfaced.
-        qdvals = ", ".join(
-            f"({i}, '{qid}', '{txt}')"
-            for i, (qid, txt) in enumerate(KNNTRAINSET)
-        )
-        lmw = ("greatest(ln(1 + tf / (1000.0 * cf / qdg.total_cf)) "
-               "+ ln(1000.0 / (doclen + 1000.0)), CAST(0 AS DOUBLE))")
-        return base + f""",
-qdocs AS (
-  SELECT doc_id, ref_qid, qtext AS text
-  FROM (VALUES {qdvals}) AS qd(doc_id, ref_qid, qtext)
-),
-kqrels AS (
-  SELECT qid, doc_id, rel FROM (
-    SELECT q.ref_qid AS qid, d.doc_id,
-           CASE CAST((d.doc_id + CAST(substr(q.ref_qid, 2) AS INT)) % 10
-                     AS INT)
-             WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 1 ELSE 0 END AS rel
-    FROM documents d CROSS JOIN qdocs q
-  ) x WHERE rel > 0
-),
-qdtok AS (
-  SELECT doc_id, {D['EXPLODE'](D['TOKENS'](D['FOLD']('text')))} AS term
-  FROM qdocs
-),
-qdtokf AS (
-  SELECT doc_id, term FROM qdtok
-  WHERE term NOT IN (SELECT sw FROM stopw)
-),
-qdtf AS (
-  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-  FROM qdtokf GROUP BY doc_id, term
-),
-qdstats AS (
-  SELECT d.doc_id, CAST(COALESCE(SUM(t.tf), 0) AS BIGINT) AS doclen
-  FROM qdocs d LEFT JOIN qdtf t ON d.doc_id = t.doc_id
-  GROUP BY d.doc_id
-),
-qdterm AS (
-  SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM qdtf GROUP BY term
-),
-qdg AS (SELECT CAST(SUM(doclen) AS BIGINT) AS total_cf FROM qdstats),
-knnhits AS (
-  SELECT q.qid, t.doc_id, q.qtf, t.tf, d.doclen, s.cf
-  FROM qterms q
-  JOIN qdterm s ON q.term = s.term
-  JOIN qdtf t ON q.term = t.term
-  JOIN qdstats d ON t.doc_id = d.doc_id
-),
-knnscored AS (
-  SELECT qid, doc_id, SUM(qtf * ({lmw})) AS score
-  FROM knnhits CROSS JOIN qdg
-  GROUP BY qid, doc_id
-),
-knnranked AS (
-  SELECT qid, doc_id, score,
-         CAST(ROW_NUMBER() OVER (
-           PARTITION BY qid ORDER BY round(score, 4) DESC, doc_id ASC
-         ) AS INT) AS rank
-  FROM knnscored
-),
-knnsel AS (
-  SELECT r.qid, d.ref_qid, r.score, r.rank
-  FROM knnranked r JOIN qdocs d ON r.doc_id = d.doc_id
-  WHERE r.rank <= 3 AND r.qid <> d.ref_qid
-),
-knntop AS (
-  SELECT qid, ref_qid, score,
-         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rank) AS r2
-  FROM knnsel
-),
-knn AS (
-  SELECT k.qid, k.ref_qid, round(k.score / z.z, 6) AS sim
-  FROM (SELECT qid, ref_qid, score FROM knntop WHERE r2 <= 2) k
-  JOIN (
-    SELECT qid, SUM(score) AS z FROM knntop WHERE r2 <= 2 GROUP BY qid
-  ) z ON k.qid = z.qid
-),
+        return base + _knn_ctes(d) + """,
 krun AS (SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 20),
 relref AS (
   SELECT k.qid, k.ref_qid, k.sim, s.doc_id
@@ -1462,6 +1472,89 @@ krr AS (
   FROM krescored
 )
 SELECT qid, doc_id, rank, score FROM krr WHERE rank <= 10
+ORDER BY qid, rank"""
+    if name == "srlm_knn_pseudo":
+        # F12 (retrieval/KNNRelModel.java pseudo-relevance path):
+        # pseudo top-docs list = the KNN neighbors' rel docs (uniform
+        # weight 1/n, sum 1, listed FIRST ordered by doc_id) followed by
+        # the retrieved docs (score-sum-normalized, ordered by rank);
+        # the RM-conditional weights are fit on the pseudo list's
+        # top-20 (with the synthetic qrels, n_rel >= 20 always, so the
+        # pseudo head is pure rel docs) and the KL-div rerank rescores
+        # the ORIGINAL BM25 top-100. Round-6 rank key with previous-rank
+        # tie-break, score surfaced at round 4 (the F4 contract shape).
+        return base + _knn_ctes(d) + """,
+run12 AS (SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 100),
+reld AS (
+  SELECT DISTINCT k.qid, s.doc_id
+  FROM knn k JOIN kqrels s ON s.qid = k.ref_qid AND s.rel > 0
+),
+nrel AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n FROM reld GROUP BY qid),
+relp AS (
+  SELECT r.qid, r.doc_id, 1.0 / n.n AS sim, 0 AS grp,
+         CAST(r.doc_id AS BIGINT) AS ord
+  FROM reld r JOIN nrel n ON r.qid = n.qid
+),
+zsum AS (SELECT qid, SUM(score) AS z FROM run12 GROUP BY qid),
+retp AS (
+  SELECT r.qid, r.doc_id, r.score / z.z AS sim, 1 AS grp,
+         CAST(r.rank AS BIGINT) AS ord
+  FROM run12 r JOIN zsum z ON r.qid = z.qid
+),
+pseudo AS (
+  SELECT qid, doc_id, sim,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY grp, ord
+         ) AS INT) AS rank
+  FROM (SELECT * FROM relp UNION ALL SELECT * FROM retp) u
+),
+pdv AS (
+  SELECT p.qid, p.doc_id, p.rank, p.sim, t.term, t.tf, ds.doclen
+  FROM pseudo p
+  JOIN tf t ON p.doc_id = t.doc_id
+  JOIN dstats ds ON p.doc_id = ds.doc_id
+  WHERE p.rank <= 20
+),
+ptstop AS (
+  SELECT qid, term, CAST(COUNT(*) AS BIGINT) AS df_top
+  FROM pdv GROUP BY qid, term
+),
+psums AS (SELECT qid, SUM(sim) AS sum_sim FROM pdv GROUP BY qid),
+pwts AS (
+  SELECT d.qid, d.term,
+         SUM((0.9 * d.tf / d.doclen + (1.0 - 0.9) * ts.df_top / 20.0)
+             * d.sim / s.sum_sim) AS wt
+  FROM pdv d
+  JOIN ptstop ts ON d.qid = ts.qid AND d.term = ts.term
+  JOIN psums s ON d.qid = s.qid
+  GROUP BY d.qid, d.term
+),
+rdv AS (
+  SELECT r.qid, r.doc_id, t.term, t.tf, ds.doclen
+  FROM run12 r
+  JOIN tf t ON r.doc_id = t.doc_id
+  JOIN dstats ds ON r.doc_id = ds.doc_id
+),
+pkl AS (
+  SELECT d.qid, d.doc_id,
+         SUM(w.wt * ln(w.wt / (CAST(d.tf AS DOUBLE) / d.doclen))) AS kl
+  FROM rdv d JOIN pwts w ON d.qid = w.qid AND d.term = w.term
+  GROUP BY d.qid, d.doc_id
+),
+prescored AS (
+  SELECT r.qid, r.doc_id, r.rank AS prev_rank,
+         1.0 - exp(COALESCE(k.kl, 0.0)) AS score
+  FROM run12 r LEFT JOIN pkl k ON r.qid = k.qid AND r.doc_id = k.doc_id
+),
+prr AS (
+  SELECT qid, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, prev_rank ASC
+         ) AS INT) AS rank,
+         round(score, 4) AS score
+  FROM prescored
+)
+SELECT qid, doc_id, rank, score FROM prr WHERE rank <= 10
 ORDER BY qid, rank"""
     if name == "qpp_eval_corr":
         # H1 QPP-evaluation harness (qpp_eval/* drivers; correlation
@@ -2826,6 +2919,54 @@ def _srlm_knn_rerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rank")
 
 
+def _srlm_knn_pseudo_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 contract (``srlm.knn_pseudo_rel_rerank``, reference
+    ``retrieval/KNNRelModel.java`` pseudo-relevance path): the real
+    operator — KNN neighbors' rel docs as a uniform-weight pseudo list
+    prepended to the score-normalized retrieved list, RM-conditional fit
+    on its top-20, KL-div rerank of the ORIGINAL BM25 top-100 — vs the
+    full SQL twin in ``build_sql("srlm_knn_pseudo")``. The knn sims
+    cancel (rel docs are uniform-weight), so the only cross-engine float
+    surface is the RM/KL chain already pinned by ``fdbk_kl_rerank``."""
+    from pyspark.sql import functions as F
+
+    from .operators.index import build_index
+    from .operators.retrieval import search
+    from .operators.srlm import knn_pseudo_rel_rerank, knn_query_search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = build_index(docs, analyzer="simple", cache=False)
+    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
+    qdocs = spark.createDataFrame(
+        [(i, qid, txt) for i, (qid, txt) in enumerate(KNNTRAINSET)],
+        "doc_id long, ref_qid string, text string",
+    )
+    qidx = build_index(qdocs, analyzer="simple", cache=False)
+    knn = knn_query_search(
+        qidx, qdf, k=2, model="lmdir", rank_round=4
+    ).select("qid", "ref_qid", F.round("sim", 6).alias("sim"))
+    run = search(idx, qdf, model="bm25", k=100, rank_round=4).select(
+        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
+    )
+    m = (F.col("doc_id") + F.substring("qid", 2, 10).cast("int")) % 10
+    kqrels = (
+        docs.select("doc_id")
+        .crossJoin(qdocs.select(F.col("ref_qid").alias("qid")))
+        .withColumn(
+            "rel",
+            F.when(m == 0, 3).when(m == 1, 2).when(m == 2, 1).otherwise(0),
+        )
+        .filter(F.col("rel") > 0)
+        .select("qid", "doc_id", "rel")
+    )
+    out = knn_pseudo_rel_rerank(idx, run, knn, kqrels, rank_round=6)
+    return out.filter(F.col("rank") <= 10).select(
+        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
+    ).orderBy("qid", "rank")
+
+
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {n: make_spark_query(n) for n in QUERY_NAMES}
     out["bmw_topk"] = _bmw_topk_query
@@ -2846,6 +2987,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["qpp_corr_pack"] = _qpp_corr_pack_query
     out["qpp_lambda_grid"] = _qpp_lambda_grid_query
     out["srlm_knn_rerank"] = _srlm_knn_rerank_query
+    out["srlm_knn_pseudo"] = _srlm_knn_pseudo_query
     return out
 
 
@@ -2896,4 +3038,6 @@ def duckdb_oracles() -> dict[str, str]:
     out["qpp_lambda_grid"] = build_sql("qpp_lambda_grid", "duckdb")
     # the Q10 KNN query search + F10 KNN-centroid rerank chain
     out["srlm_knn_rerank"] = build_sql("srlm_knn_rerank", "duckdb")
+    # the F12 KNN pseudo-relevance list into the RM/KL rerank chain
+    out["srlm_knn_pseudo"] = build_sql("srlm_knn_pseudo", "duckdb")
     return out

@@ -207,11 +207,13 @@ def knn_pseudo_rel_rerank(
     knn_queries: DataFrame,
     qrels: DataFrame,
     cfg: EngineConfig = EngineConfig(),
+    rank_round: int | None = None,
 ) -> DataFrame:
     """F12 -> reranked run: pseudo top-docs = KNN rel docs (uniform
     weight, sum 1, listed first) + retrieved docs (score-sum-normalized),
     fed to the RM-conditional + KL-div chain, which reranks the ORIGINAL
-    run."""
+    run. ``rank_round`` is forwarded to the KL rerank (contract-query
+    device)."""
     rel_docs = (
         knn_queries.join(
             qrels.filter(F.col("rel") > 0).select(
@@ -243,7 +245,7 @@ def knn_pseudo_rel_rerank(
     # the KL rerank scores the ORIGINAL retrieved list, so the doc-vector
     # side must cover the run's docs: reuse stats with the run's vectors
     run_stats = top_docs_term_stats(index, run, cfg.feedback.num_top_docs)
-    return kl_div_rerank(run_stats, wts, run)
+    return kl_div_rerank(run_stats, wts, run, rank_round=rank_round)
 
 
 def knn_query_search(
