@@ -1473,6 +1473,65 @@ krr AS (
 )
 SELECT qid, doc_id, rank, score FROM krr WHERE rank <= 10
 ORDER BY qid, rank"""
+    if name == "fdbk_rlm_driver":
+        # F6 (retrieval/KNNRelModel.java:610-620 relevanceFeedback):
+        # the RLM driver's default wiring — LM-Dirichlet retrieval
+        # (mu=1000, k=num_wanted=100), RM-conditional weights on the
+        # top-20, KL-div rerank of the same run. Membership is pinned
+        # by the round-4 rank key but the KL chain consumes the RAW
+        # retrieval score as sim (the driver does not round mid-chain),
+        # so `run` re-joins `scored` for the unrounded value. Round-6
+        # rerank key with previous-rank tie-break; score round 4.
+        return _ir_base(d, LMDIR) + """,
+run AS (
+  SELECT s.qid, s.doc_id, r.rank, s.score
+  FROM scored s JOIN ranked r ON s.qid = r.qid AND s.doc_id = r.doc_id
+  WHERE r.rank <= 100
+),
+dv AS (
+  SELECT r.qid, r.doc_id, r.rank, r.score AS sim, t.term, t.tf, ds.doclen
+  FROM run r
+  JOIN tf t ON r.doc_id = t.doc_id
+  JOIN dstats ds ON r.doc_id = ds.doc_id
+),
+tstop AS (
+  SELECT qid, term, CAST(COUNT(*) AS BIGINT) AS df_top
+  FROM dv WHERE rank <= 20 GROUP BY qid, term
+),
+sums AS (
+  SELECT qid, SUM(sim) AS sum_sim FROM dv WHERE rank <= 20 GROUP BY qid
+),
+wts AS (
+  SELECT d.qid, d.term,
+         SUM((0.9 * d.tf / d.doclen + (1.0 - 0.9) * ts.df_top / 20.0)
+             * d.sim / s.sum_sim) AS wt
+  FROM dv d
+  JOIN tstop ts ON d.qid = ts.qid AND d.term = ts.term
+  JOIN sums s ON d.qid = s.qid
+  WHERE d.rank <= 20
+  GROUP BY d.qid, d.term
+),
+kl AS (
+  SELECT d.qid, d.doc_id,
+         SUM(w.wt * ln(w.wt / (CAST(d.tf AS DOUBLE) / d.doclen))) AS kl
+  FROM dv d JOIN wts w ON d.qid = w.qid AND d.term = w.term
+  GROUP BY d.qid, d.doc_id
+),
+rescored AS (
+  SELECT r.qid, r.doc_id, r.rank AS prev_rank,
+         1.0 - exp(COALESCE(k.kl, 0.0)) AS score
+  FROM run r LEFT JOIN kl k ON r.qid = k.qid AND r.doc_id = k.doc_id
+),
+rr AS (
+  SELECT qid, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, prev_rank ASC
+         ) AS INT) AS rank,
+         round(score, 4) AS score
+  FROM rescored
+)
+SELECT qid, doc_id, rank, score FROM rr WHERE rank <= 10
+ORDER BY qid, rank"""
     if name == "srlm_knn_pseudo":
         # F12 (retrieval/KNNRelModel.java pseudo-relevance path):
         # pseudo top-docs list = the KNN neighbors' rel docs (uniform
@@ -2919,6 +2978,33 @@ def _srlm_knn_rerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rank")
 
 
+def _fdbk_rlm_driver_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 contract (``feedback.rlm_rerank``, reference
+    ``retrieval/KNNRelModel.java:610-620``): the REAL driver function —
+    LM-Dirichlet retrieve, RM-conditional on the top-20, KL rerank of
+    the same run, all through its own default wiring — vs the full SQL
+    twin in ``build_sql("fdbk_rlm_driver")``. Unlike ``fdbk_kl_rerank``
+    (which feeds pre-rounded scores through the individual operators),
+    this row pins the driver composition itself: the KL chain consumes
+    the RAW retrieval score, with membership pinned at rank_round=4 and
+    the rerank order at rerank_round=6."""
+    from pyspark.sql import functions as F
+
+    from .operators.feedback import rlm_rerank
+    from .operators.index import build_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = build_index(docs, analyzer="simple", cache=False)
+    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
+    out = rlm_rerank(idx, qdf, model="lmdir", rank_round=4,
+                     rerank_round=6)
+    return out.filter(F.col("rank") <= 10).select(
+        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
+    ).orderBy("qid", "rank")
+
+
 def _srlm_knn_pseudo_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F12 contract (``srlm.knn_pseudo_rel_rerank``, reference
     ``retrieval/KNNRelModel.java`` pseudo-relevance path): the real
@@ -2988,6 +3074,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["qpp_lambda_grid"] = _qpp_lambda_grid_query
     out["srlm_knn_rerank"] = _srlm_knn_rerank_query
     out["srlm_knn_pseudo"] = _srlm_knn_pseudo_query
+    out["fdbk_rlm_driver"] = _fdbk_rlm_driver_query
     return out
 
 
@@ -3040,4 +3127,6 @@ def duckdb_oracles() -> dict[str, str]:
     out["srlm_knn_rerank"] = build_sql("srlm_knn_rerank", "duckdb")
     # the F12 KNN pseudo-relevance list into the RM/KL rerank chain
     out["srlm_knn_pseudo"] = build_sql("srlm_knn_pseudo", "duckdb")
+    # the F6 RLM driver's default wiring (raw-sim KL over LM-Dirichlet)
+    out["fdbk_rlm_driver"] = build_sql("fdbk_rlm_driver", "duckdb")
     return out

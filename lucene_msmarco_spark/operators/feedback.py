@@ -232,21 +232,27 @@ def rlm_rerank(
     model: str = "lmdir",
     cfg: EngineConfig = EngineConfig(),
     post_qe: bool = False,
+    rank_round: int | None = None,
+    rerank_round: int | None = None,
 ) -> DataFrame:
     """F6 — the RLM driver (``retrieval/KNNRelModel.java:610-620``):
     retrieve -> RM-conditional on top RLM_NUM_TOP_DOCS -> KL rerank ->
-    optional expanded re-search."""
-    run = search(index, queries, model=model, cfg=cfg)
+    optional expanded re-search. ``rank_round``/``rerank_round`` pin the
+    retrieval and KL-rerank orders to rounded score keys (the
+    contract-query device); ``None`` keeps the reference's raw
+    comparators."""
+    run = search(index, queries, model=model, cfg=cfg,
+                 rank_round=rank_round)
     qt = compile_queries(queries, index.analyzer)
     stats = top_docs_term_stats(index, run, cfg.feedback.num_top_docs)
     wts = rm_conditional_weights(stats, cfg.feedback)
-    reranked = kl_div_rerank(stats, wts, run)
+    reranked = kl_div_rerank(stats, wts, run, rank_round=rerank_round)
     if not post_qe:
         return reranked
     expanded_terms = rlm_expand_query(index, stats, wts, qt, cfg.feedback)
     return search(
         index, queries=None, model=model, cfg=cfg,
-        precompiled_terms=expanded_terms,
+        precompiled_terms=expanded_terms, rank_round=rank_round,
     )
 
 
