@@ -1349,6 +1349,55 @@ SELECT round(rmse_c.rmse, 6) AS rmse,
        round(1.0 - sr.sare, 6) AS sarc
 FROM rmse_c CROSS JOIN pw CROSS JOIN qs CROSS JOIN qca CROSS JOIN sr"""
         )
+    if name == "corr_polyfit":
+        # C11 polynomial regression (correlation/PolynomialRegression
+        # .java:14-57 via commons-math3 PolynomialCurveFitter; engine
+        # ``correlation.polynomial_fit`` = np.polyfit): degree-2 least
+        # squares of y = NQC (rounded 6) on x = AP (rounded 4, the
+        # well-conditioned axis), coefficients highest power first. The
+        # twin solves the 3x3 normal equations by Cramer's rule —
+        # verified against the SVD solution to ~2e-13 on these fixtures,
+        # far inside the round-6 surfacing.
+        return (
+            base + "," + QRELS_CTE + "," + EVAL_BODY + """,
+nqcv AS (
+  SELECT qid, var_pop(score) AS v FROM run WHERE rank <= 50 GROUP BY qid
+),
+aidf AS (
+  SELECT q.qid,
+         AVG(ln(CAST(g.n_docs AS DOUBLE)
+                / GREATEST(COALESCE(s.df, 0), 1))) AS aidf
+  FROM qterms q LEFT JOIN tstats s ON q.term = s.term CROSS JOIN g
+  GROUP BY q.qid
+),
+m AS (
+  SELECT p.qid, p.ap AS x,
+         round(COALESCE(nv.v, 0) * ai.aidf, 6) AS y
+  FROM permetrics p
+  JOIN aidf ai ON p.qid = ai.qid
+  LEFT JOIN nqcv nv ON p.qid = nv.qid
+),
+s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS s0, SUM(x) AS s1, SUM(x * x) AS s2,
+         SUM(x * x * x) AS s3, SUM(x * x * x * x) AS s4,
+         SUM(y) AS t0, SUM(x * y) AS t1, SUM(x * x * y) AS t2
+  FROM m
+),
+dd AS (
+  SELECT s.*,
+         s0 * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s2 * s3)
+           + s2 * (s1 * s3 - s2 * s2) AS det
+  FROM s
+)
+SELECT
+  round((s0 * (s2 * t2 - t1 * s3) - s1 * (s1 * t2 - t1 * s2)
+         + t0 * (s1 * s3 - s2 * s2)) / det, 6) AS c2,
+  round((s0 * (t1 * s4 - s3 * t2) - t0 * (s1 * s4 - s3 * s2)
+         + s2 * (s1 * t2 - t1 * s2)) / det, 6) AS c1,
+  round((t0 * (s2 * s4 - s3 * s3) - s1 * (t1 * s4 - s3 * t2)
+         + s2 * (t1 * s3 - s2 * t2)) / det, 6) AS c0
+FROM dd"""
+        )
     if name == "qpp_lambda_grid":
         # H2 grid_search_lambda (operators/experiments.py; the qpp_eval
         # tuning drivers): for each lambda on the grid, the P7 combine
@@ -2978,6 +3027,59 @@ def _srlm_knn_rerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rank")
 
 
+def _corr_polyfit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11 contract (``correlation.polynomial_fit``, reference
+    ``correlation/PolynomialRegression.java``): the real np.polyfit
+    kernel — degree-2 least squares of NQC (round 6) on AP (round 4) —
+    vs the Cramer normal-equations SQL twin in
+    ``build_sql("corr_polyfit")``. The two algorithms agree to ~2e-13
+    on these vectors; the round-6 surfacing absorbs that."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from .operators.correlation import polynomial_fit
+    from .operators.eval import per_query_metrics
+    from .operators.index import build_index
+    from .operators.postings import CompactIndex, bmw_search
+    from .operators.qpp import nqc, query_idf_stats
+    from .operators.retrieval import compile_queries
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = build_index(docs, analyzer="simple", cache=False)
+    compact = CompactIndex.from_index(idx, n_segments=4)
+    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
+    qt = compile_queries(qdf, "simple")
+    run = bmw_search(compact, qt, k=100, rank_round=4).select(
+        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
+    )
+    m = (F.col("doc_id") + F.substring("qid", 2, 10).cast("int")) % 10
+    qrels = (
+        docs.select("doc_id").crossJoin(qdf.select("qid"))
+        .withColumn(
+            "rel",
+            F.when(m == 0, 3).when(m == 1, 2).when(m == 2, 1).otherwise(0),
+        )
+        .filter(F.col("rel") > 0)
+        .select("qid", "doc_id", "rel")
+    )
+    metrics = per_query_metrics(run, qrels)
+    stats = query_idf_stats(qt, idx.term_stats, idx.stats.n_docs)
+    est = nqc(run, stats, k=50)
+    rows = (
+        metrics.select("qid", F.round("ap", 4).alias("x"))
+        .join(est.select("qid", F.round("nqc", 6).alias("y")), "qid")
+        .orderBy("qid")
+        .collect()
+    )
+    gt = np.array([r["x"] for r in rows])
+    pred = np.array([r["y"] for r in rows])
+    c2, c1, c0 = (float(c) for c in polynomial_fit(gt, pred, 2))
+    out = [(round(c2, 6), round(c1, 6), round(c0, 6))]
+    return spark.createDataFrame(out, "c2 double, c1 double, c0 double")
+
+
 def _fdbk_rlm_driver_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6 contract (``feedback.rlm_rerank``, reference
     ``retrieval/KNNRelModel.java:610-620``): the REAL driver function —
@@ -3075,6 +3177,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["srlm_knn_rerank"] = _srlm_knn_rerank_query
     out["srlm_knn_pseudo"] = _srlm_knn_pseudo_query
     out["fdbk_rlm_driver"] = _fdbk_rlm_driver_query
+    out["corr_polyfit"] = _corr_polyfit_query
     return out
 
 
@@ -3129,4 +3232,6 @@ def duckdb_oracles() -> dict[str, str]:
     out["srlm_knn_pseudo"] = build_sql("srlm_knn_pseudo", "duckdb")
     # the F6 RLM driver's default wiring (raw-sim KL over LM-Dirichlet)
     out["fdbk_rlm_driver"] = build_sql("fdbk_rlm_driver", "duckdb")
+    # the C11 degree-2 least-squares kernel vs Cramer normal equations
+    out["corr_polyfit"] = build_sql("corr_polyfit", "duckdb")
     return out
