@@ -1349,6 +1349,72 @@ SELECT round(rmse_c.rmse, 6) AS rmse,
        round(1.0 - sr.sare, 6) AS sarc
 FROM rmse_c CROSS JOIN pw CROSS JOIN qs CROSS JOIN qca CROSS JOIN sr"""
         )
+    if name == "qpp_preretrieved":
+        # H8 (QPP on a pre-retrieved run) chaining Q8 induce_scores +
+        # E8 rerank_by_score + P1 NQC + P9 precomputed lookup: the
+        # external 2-col run is, per query, the doc_ids with
+        # (doc_id + qnum) % 3 == 0 (first 40 by doc_id); re-scored with
+        # LM-JM (lam=0.2 -> 0.25 factor) over the query terms (docs
+        # sharing no term score 0), rounded 4, re-sorted score desc /
+        # doc_id asc with ranks reassigned (the AUTO_SORT_TOP_DOCS
+        # quirk), NQC (round 6) surfaced on the top-5 rows via the P9
+        # broadcast lookup — NULL for the stopword-only query, LEFT
+        # JOIN on both sides.
+        return base + """,
+ext AS (
+  SELECT q.qid, d.doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.qid ORDER BY d.doc_id
+         ) AS r
+  FROM documents d CROSS JOIN queries q
+  WHERE (d.doc_id + CAST(substr(q.qid, 2) AS INT)) % 3 = 0
+),
+ext40 AS (SELECT qid, doc_id FROM ext WHERE r <= 40),
+ihits AS (
+  SELECT e.qid, e.doc_id, q.qtf, t.tf, ds.doclen, s.df
+  FROM ext40 e
+  JOIN qterms q ON q.qid = e.qid
+  JOIN tf t ON t.term = q.term AND t.doc_id = e.doc_id
+  JOIN tstats s ON s.term = q.term
+  JOIN dstats ds ON ds.doc_id = e.doc_id
+),
+iscored AS (
+  SELECT qid, doc_id,
+         SUM(qtf * (ln(1 + 0.25 * (tf / doclen) * (g.n_docs / df))))
+           AS score
+  FROM ihits CROSS JOIN g GROUP BY qid, doc_id
+),
+ind AS (
+  SELECT e.qid, e.doc_id,
+         round(COALESCE(i.score, CAST(0 AS DOUBLE)), 4) AS score
+  FROM ext40 e
+  LEFT JOIN iscored i ON e.qid = i.qid AND e.doc_id = i.doc_id
+),
+rr8 AS (
+  SELECT qid, doc_id, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY score DESC, doc_id ASC
+         ) AS INT) AS rank
+  FROM ind
+),
+nqcv AS (
+  SELECT qid, var_pop(score) AS v FROM rr8 WHERE rank <= 50 GROUP BY qid
+),
+aidf AS (
+  SELECT q.qid,
+         AVG(ln(CAST(g.n_docs AS DOUBLE)
+                / GREATEST(COALESCE(s.df, 0), 1))) AS aidf
+  FROM qterms q LEFT JOIN tstats s ON q.term = s.term CROSS JOIN g
+  GROUP BY q.qid
+),
+est AS (
+  SELECT nv.qid, round(nv.v * a.aidf, 6) AS nqc
+  FROM nqcv nv JOIN aidf a ON nv.qid = a.qid
+)
+SELECT r.qid, r.doc_id, r.rank, r.score, e.nqc
+FROM rr8 r LEFT JOIN est e ON r.qid = e.qid
+WHERE r.rank <= 5
+ORDER BY r.qid, r.rank"""
     if name == "corr_polyfit":
         # C11 polynomial regression (correlation/PolynomialRegression
         # .java:14-57 via commons-math3 PolynomialCurveFitter; engine
@@ -3027,6 +3093,57 @@ def _srlm_knn_rerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rank")
 
 
+def _qpp_preretrieved_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H8 contract: the real chain over a pre-retrieved run —
+    ``retrieval.induce_scores`` (Q8, LM-JM), ``eval.rerank_by_score``
+    (E8, the AUTO_SORT_TOP_DOCS resort), ``qpp.nqc`` (P1) and
+    ``qpp.precomputed_predictor`` (P9 broadcast lookup) — vs the full
+    SQL twin in ``build_sql("qpp_preretrieved")``. Scores are rounded 4
+    BEFORE the E8 resort so both engines rank identical doubles; the
+    stopword-only query surfaces NULL nqc through the P9 left lookup on
+    both sides."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .operators.eval import rerank_by_score
+    from .operators.index import build_index
+    from .operators.qpp import nqc, precomputed_predictor, query_idf_stats
+    from .operators.retrieval import compile_queries, induce_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = build_index(docs, analyzer="simple", cache=False)
+    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
+    qnum = F.substring("qid", 2, 10).cast("int")
+    ext = (
+        docs.select("doc_id").crossJoin(qdf.select("qid"))
+        .filter(((F.col("doc_id") + qnum) % 3) == 0)
+    )
+    w = Window.partitionBy("qid").orderBy("doc_id")
+    ext40 = (
+        ext.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 40)
+        .select("qid", "doc_id")
+    )
+    ind = induce_scores(idx, ext40, qdf, model="lmjm")
+    rr = rerank_by_score(
+        ind.select("qid", "doc_id", F.round("score", 4).alias("score"))
+    )
+    qt = compile_queries(qdf, "simple")
+    stats = query_idf_stats(qt, idx.term_stats, idx.stats.n_docs)
+    est = nqc(rr, stats, k=50).select(
+        "qid", F.round("nqc", 6).alias("nqc")
+    )
+    pre = precomputed_predictor(est, rr)
+    return (
+        rr.filter(F.col("rank") <= 5)
+        .join(pre, "qid", "left")
+        .select("qid", "doc_id", "rank", "score", "nqc")
+        .orderBy("qid", "rank")
+    )
+
+
 def _corr_polyfit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C11 contract (``correlation.polynomial_fit``, reference
     ``correlation/PolynomialRegression.java``): the real np.polyfit
@@ -3178,6 +3295,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["srlm_knn_pseudo"] = _srlm_knn_pseudo_query
     out["fdbk_rlm_driver"] = _fdbk_rlm_driver_query
     out["corr_polyfit"] = _corr_polyfit_query
+    out["qpp_preretrieved"] = _qpp_preretrieved_query
     return out
 
 
@@ -3234,4 +3352,6 @@ def duckdb_oracles() -> dict[str, str]:
     out["fdbk_rlm_driver"] = build_sql("fdbk_rlm_driver", "duckdb")
     # the C11 degree-2 least-squares kernel vs Cramer normal equations
     out["corr_polyfit"] = build_sql("corr_polyfit", "duckdb")
+    # the H8 pre-retrieved chain (Q8 induce + E8 resort + P1/P9)
+    out["qpp_preretrieved"] = build_sql("qpp_preretrieved", "duckdb")
     return out
