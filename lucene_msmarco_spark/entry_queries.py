@@ -1349,6 +1349,24 @@ SELECT round(rmse_c.rmse, 6) AS rmse,
        round(1.0 - sr.sare, 6) AS sarc
 FROM rmse_c CROSS JOIN pw CROSS JOIN qs CROSS JOIN qca CROSS JOIN sr"""
         )
+    if name == "analyzed_export":
+        # T3 pre-analysis export (indexing/Preprocessor.java:9-31): the
+        # space-joined analyzed token stream per doc, ORDER-PRESERVING
+        # (the tok CTEs elsewhere explode and lose order, so this is
+        # the only row that pins token SEQUENCE): fold numbers (T2),
+        # lowercase alnum runs, drop stopwords in place, join with ' '.
+        csv = "|".join(sorted(stopwords())).replace("'", "''")
+        toks = D["TOKENS"](D["FOLD"]("text"))
+        if d == "spark":
+            filt = (f"filter({toks}, t -> "
+                    f"NOT array_contains(split('{csv}', '[|]'), t))")
+        else:
+            filt = (f"list_filter({toks}, t -> "
+                    f"NOT list_contains(string_split('{csv}', '|'), t))")
+        return (
+            f"SELECT doc_id, {D['JOIN_ARR'](filt)} AS analyzed "
+            "FROM documents ORDER BY doc_id"
+        )
     if name == "qpp_preretrieved":
         # H8 (QPP on a pre-retrieved run) chaining Q8 induce_scores +
         # E8 rerank_by_score + P1 NQC + P9 precomputed lookup: the
@@ -3093,6 +3111,21 @@ def _srlm_knn_rerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rank")
 
 
+def _analyzed_export_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 contract (``sources.writers.analyzed_export``, reference
+    ``indexing/Preprocessor.java:9-31``): the real order-preserving
+    analyzed-text export (simple analyzer: fold, lowercase alnum runs,
+    in-place stopword drop, space join) vs the array-filter SQL twin in
+    ``build_sql("analyzed_export")``. The only row that value-pins token
+    SEQUENCE — every other tok CTE explodes and loses order."""
+    from .sources.writers import analyzed_export
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return analyzed_export(docs, analyzer="simple").orderBy("doc_id")
+
+
 def _qpp_preretrieved_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H8 contract: the real chain over a pre-retrieved run —
     ``retrieval.induce_scores`` (Q8, LM-JM), ``eval.rerank_by_score``
@@ -3296,6 +3329,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["fdbk_rlm_driver"] = _fdbk_rlm_driver_query
     out["corr_polyfit"] = _corr_polyfit_query
     out["qpp_preretrieved"] = _qpp_preretrieved_query
+    out["analyzed_export"] = _analyzed_export_query
     return out
 
 
@@ -3354,4 +3388,6 @@ def duckdb_oracles() -> dict[str, str]:
     out["corr_polyfit"] = build_sql("corr_polyfit", "duckdb")
     # the H8 pre-retrieved chain (Q8 induce + E8 resort + P1/P9)
     out["qpp_preretrieved"] = build_sql("qpp_preretrieved", "duckdb")
+    # the T3 order-preserving analyzed export
+    out["analyzed_export"] = build_sql("analyzed_export", "duckdb")
     return out
