@@ -28,6 +28,16 @@ Operator coverage (SURVEY.md §2 IDs in parens):
   ``bmw_topk`` (compressed Block-Max path) and ``incremental_topk``
   (SegmentedIndexWriter append+compact+load lifecycle, S14) both run
   against the ``bm25_topk`` oracle — same rows, different engines.
+
+Operator-backed rows (the Spark side runs the real DataFrame operators,
+not the dialect-rendered SQL): dedup_embedding, qpp_rsd, qpp_uef,
+fdbk_kl_rerank, fdbk_rm1_expand, fdbk_rocchio, fdbk_rlm_driver(F6),
+qpp_cumnqc, qpp_eval_corr(H1/C1/C2), qpp_corr_pack(C3-C7),
+qpp_lambda_grid(H2), qpp_variant_spec(P7/C10), qpp_preretrieved
+(H8/Q8/E8/P9), corr_polyfit(C11), lmdir_mu_sweep(H3/E6),
+stoch_swap_perms(H5), srlm_rerank(F8/F9), srlm_knn_rerank(Q10/F10),
+srlm_knn_pseudo(F12), bm25_boosted_topk(Q2), analyzed_export(T3),
+bmw_topk, incremental_topk.
 """
 
 from __future__ import annotations
