@@ -1386,8 +1386,10 @@ FROM rmse_c CROSS JOIN pw CROSS JOIN qs CROSS JOIN qca CROSS JOIN sr"""
         # sharing no term score 0), rounded 4, re-sorted score desc /
         # doc_id asc with ranks reassigned (the AUTO_SORT_TOP_DOCS
         # quirk), NQC (round 6) surfaced on the top-5 rows via the P9
-        # broadcast lookup — NULL for the stopword-only query, LEFT
-        # JOIN on both sides.
+        # broadcast lookup. The stopword-only query (no terms -> no
+        # aidf -> no estimate) is dropped by the inner join on both
+        # sides: a NULL in a surfaced column would break the driver's
+        # sorted-tuple value compare (None is unordered vs float).
         return base + """,
 ext AS (
   SELECT q.qid, d.doc_id,
@@ -1440,7 +1442,7 @@ est AS (
   FROM nqcv nv JOIN aidf a ON nv.qid = a.qid
 )
 SELECT r.qid, r.doc_id, r.rank, r.score, e.nqc
-FROM rr8 r LEFT JOIN est e ON r.qid = e.qid
+FROM rr8 r JOIN est e ON r.qid = e.qid
 WHERE r.rank <= 5
 ORDER BY r.qid, r.rank"""
     if name == "corr_polyfit":
@@ -3143,8 +3145,8 @@ def _qpp_preretrieved_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``qpp.precomputed_predictor`` (P9 broadcast lookup) — vs the full
     SQL twin in ``build_sql("qpp_preretrieved")``. Scores are rounded 4
     BEFORE the E8 resort so both engines rank identical doubles; the
-    stopword-only query surfaces NULL nqc through the P9 left lookup on
-    both sides."""
+    stopword-only query (NULL from the P9 left lookup) is filtered out
+    — the driver's sorted-tuple compare cannot order None vs float."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -3181,7 +3183,7 @@ def _qpp_preretrieved_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = precomputed_predictor(est, rr)
     return (
         rr.filter(F.col("rank") <= 5)
-        .join(pre, "qid", "left")
+        .join(pre.filter(F.col("nqc").isNotNull()), "qid")
         .select("qid", "doc_id", "rank", "score", "nqc")
         .orderBy("qid", "rank")
     )
