@@ -1014,6 +1014,54 @@ rr AS (
 )
 SELECT qid, doc_id, rank, score FROM rr WHERE rank <= 10
 ORDER BY qid, rank"""
+    if name == "stoch_attr_perms":
+        # H6 AttributeValueBasedSwapper (stochastic_qpp/
+        # AttributeValueBasedSwapper.java:21-53): identical swap
+        # mechanics to H5 with rel/nonrel replaced by a binary document
+        # attribute (here attr = doc_id % 2) and WITHOUT the
+        # rank-1-always-swappable forcing — the enumerator flag combo
+        # stoch_swap_perms does not pin. Full permutation set over the
+        # BM25 top-10, scores attached to ranks, (r ASC, nr ASC)
+        # numbering, identity = perm 0.
+        return base + """,
+run AS (SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 10),
+filled AS (
+  SELECT qid, doc_id, rank, score,
+         CAST(doc_id % 2 AS INT) AS rel
+  FROM run
+),
+relranks AS (
+  SELECT qid, rank AS r FROM filled WHERE rel >= 1
+),
+nonrelranks AS (
+  SELECT qid, rank AS nr FROM filled WHERE rel < 1
+),
+permids AS (
+  SELECT rr.qid, rr.r, nr.nr,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY rr.qid ORDER BY rr.r, nr.nr
+         ) AS INT) AS perm_id
+  FROM relranks rr
+  JOIN nonrelranks nr ON rr.qid = nr.qid AND nr.nr <> rr.r
+),
+swapped AS (
+  SELECT p.qid, p.perm_id, f.rank,
+         CASE WHEN f.rank = p.r THEN fn.doc_id
+              WHEN f.rank = p.nr THEN fr.doc_id
+              ELSE f.doc_id END AS doc_id,
+         f.score
+  FROM permids p
+  JOIN filled f ON f.qid = p.qid
+  JOIN filled fr ON fr.qid = p.qid AND fr.rank = p.r
+  JOIN filled fn ON fn.qid = p.qid AND fn.rank = p.nr
+),
+allperms AS (
+  SELECT qid, CAST(0 AS INT) AS perm_id, rank, doc_id, score FROM filled
+  UNION ALL
+  SELECT qid, perm_id, rank, doc_id, score FROM swapped
+)
+SELECT qid, perm_id, doc_id, rank, round(score, 4) AS score
+FROM allperms ORDER BY qid, perm_id, rank"""
     if name == "qpp_variant_spec":
         # P7 VariantSpecificity (qpp/VariantSpecificity.java) over
         # deterministic variants (VARIANTSET): per variant, a full BM25
@@ -3123,6 +3171,45 @@ def _srlm_knn_rerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rank")
 
 
+def _stoch_attr_perms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6 contract (``stochastic.swap_permutations`` under the
+    AttributeValueBasedSwapper configuration, reference
+    ``stochastic_qpp/AttributeValueBasedSwapper.java:21-53``): the rel
+    labels come from a binary doc attribute (doc_id % 2) joined with the
+    operator's own fill semantics (left join, missing -> 0), and the
+    enumerator runs with ``top_doc_always_swapped=False`` — the flag
+    combo the H5 row does not pin — vs the self-join SQL twin in
+    ``build_sql("stoch_attr_perms")``."""
+    from pyspark.sql import functions as F
+
+    from .operators.index import build_index
+    from .operators.postings import CompactIndex, bmw_search
+    from .operators.retrieval import compile_queries
+    from .operators.stochastic import swap_permutations
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = build_index(docs, analyzer="simple", cache=False)
+    compact = CompactIndex.from_index(idx, n_segments=4)
+    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
+    qt = compile_queries(qdf, "simple")
+    run = bmw_search(compact, qt, k=10, rank_round=4).select(
+        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
+    )
+    attrs = docs.select(
+        "doc_id", (F.col("doc_id") % 2).cast("int").alias("attr")
+    )
+    filled = run.join(
+        attrs.select("doc_id", F.col("attr").alias("rel")), "doc_id", "left"
+    ).fillna(0, subset=["rel"])
+    perms = swap_permutations(filled, top_doc_always_swapped=False,
+                              min_rel=1)
+    return perms.select(
+        "qid", "perm_id", "doc_id", "rank", "score"
+    ).orderBy("qid", "perm_id", "rank")
+
+
 def _analyzed_export_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3 contract (``sources.writers.analyzed_export``, reference
     ``indexing/Preprocessor.java:9-31``): the real order-preserving
@@ -3342,6 +3429,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["corr_polyfit"] = _corr_polyfit_query
     out["qpp_preretrieved"] = _qpp_preretrieved_query
     out["analyzed_export"] = _analyzed_export_query
+    out["stoch_attr_perms"] = _stoch_attr_perms_query
     return out
 
 
@@ -3402,4 +3490,6 @@ def duckdb_oracles() -> dict[str, str]:
     out["qpp_preretrieved"] = build_sql("qpp_preretrieved", "duckdb")
     # the T3 order-preserving analyzed export
     out["analyzed_export"] = build_sql("analyzed_export", "duckdb")
+    # the H6 attribute-swap enumerator variant (no rank-1 forcing)
+    out["stoch_attr_perms"] = build_sql("stoch_attr_perms", "duckdb")
     return out
