@@ -1014,6 +1014,124 @@ rr AS (
 )
 SELECT qid, doc_id, rank, score FROM rr WHERE rank <= 10
 ORDER BY qid, rank"""
+    if name == "qpp_corel_spec":
+        # P8 CoRelSpecificity (qpp/CoRelsSpecificity-style combine):
+        # est = lam*P7_est + (1-lam)*coalesce(weighted rel-doc-run
+        # estimate, P7_est), lam = 0.5. Reference runs: per query the
+        # first TWO rel docs (by doc_id) used AS QUERIES (doc text,
+        # query-side tokenization — no FOLD), full BM25 retrieval,
+        # NQC over the doc-text terms, sim = top-10 Jaccard vs the base
+        # run. Inputs to both weighted averages are rounded 6 so the
+        # combines are bit-identical across engines; the stopword-only
+        # query never reaches the combine (no base run -> absent from
+        # bnqc and from the Jaccard join) on either side. Zero-sim
+        # references are dropped BEFORE the weighted average — they
+        # contribute 0 to both numerator and denominator, and keeping
+        # them would make the all-zero case 0/0, which Spark (non-ANSI)
+        # reads as NULL but DuckDB as NaN.
+        bm25w = (
+            "ln(1 + (g.n_docs - df + 0.5) / (df + 0.5)) * tf * 1.9 "
+            "/ (tf + 0.9 * (1 - 0.4 + 0.4 * doclen / g.avgdl))"
+        )
+        return (
+            base + "," + QRELS_CTE + _variant_ref_ctes(d) + f""",
+vwavg AS (
+  SELECT qid, SUM(sim * est) / SUM(sim) AS wref FROM refs GROUP BY qid
+),
+vsest AS (
+  SELECT b.qid,
+         round(0.5 * COALESCE(w.wref, b.nqc) + (1.0 - 0.5) * b.nqc, 6)
+           AS est
+  FROM bnqc b LEFT JOIN vwavg w ON b.qid = w.qid
+),
+rdocs AS (
+  SELECT qid, doc_id FROM (
+    SELECT qid, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY doc_id) AS j
+    FROM qrels
+  ) x WHERE j <= 2
+),
+rq AS (
+  SELECT r.qid, r.doc_id AS rdoc, d.text
+  FROM rdocs r JOIN documents d ON r.doc_id = d.doc_id
+),
+rqtok AS (
+  SELECT qid, rdoc, {D['EXPLODE'](D['TOKENS']('text'))} AS term FROM rq
+),
+rqterms AS (
+  SELECT qid, rdoc, term, CAST(COUNT(*) AS DOUBLE) AS qtf
+  FROM rqtok WHERE term NOT IN (SELECT sw FROM stopw)
+  GROUP BY qid, rdoc, term
+),
+rhits AS (
+  SELECT q.qid, q.rdoc, t.doc_id, q.qtf, t.tf, d.doclen, s.df
+  FROM rqterms q
+  JOIN tstats s ON q.term = s.term
+  JOIN tf t ON q.term = t.term
+  JOIN dstats d ON t.doc_id = d.doc_id
+),
+rscored AS (
+  SELECT qid, rdoc, doc_id, SUM(qtf * ({bm25w})) AS score
+  FROM rhits CROSS JOIN g
+  GROUP BY qid, rdoc, doc_id
+),
+rranked AS (
+  SELECT qid, rdoc, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY qid, rdoc
+           ORDER BY round(score, 4) DESC, doc_id ASC
+         ) AS INT) AS rank,
+         round(score, 4) AS score
+  FROM rscored
+),
+raidf AS (
+  SELECT q.qid, q.rdoc,
+         AVG(ln(CAST(g.n_docs AS DOUBLE)
+                / GREATEST(COALESCE(s.df, 0), 1))) AS aidf
+  FROM rqterms q LEFT JOIN tstats s ON q.term = s.term CROSS JOIN g
+  GROUP BY q.qid, q.rdoc
+),
+rnqcv AS (
+  SELECT qid, rdoc, var_pop(score) AS v
+  FROM rranked WHERE rank <= 50 GROUP BY qid, rdoc
+),
+rest AS (
+  SELECT nv.qid, nv.rdoc, nv.v * a.aidf AS est
+  FROM rnqcv nv JOIN raidf a ON nv.qid = a.qid AND nv.rdoc = a.rdoc
+),
+rb10 AS (SELECT qid, doc_id FROM ranked WHERE rank <= 10),
+rv10 AS (SELECT qid, rdoc, doc_id FROM rranked WHERE rank <= 10),
+rnasz AS (SELECT qid, COUNT(*) AS na FROM rb10 GROUP BY qid),
+rnbsz AS (SELECT qid, rdoc, COUNT(*) AS nb FROM rv10 GROUP BY qid, rdoc),
+rnisz AS (
+  SELECT v.qid, v.rdoc, COUNT(*) AS ni
+  FROM rv10 v JOIN rb10 b ON v.qid = b.qid AND v.doc_id = b.doc_id
+  GROUP BY v.qid, v.rdoc
+),
+rsims AS (
+  SELECT nb.qid, nb.rdoc,
+         CASE WHEN na.na + nb.nb - COALESCE(ni.ni, 0) > 0
+              THEN CAST(COALESCE(ni.ni, 0) AS DOUBLE)
+                   / (na.na + nb.nb - COALESCE(ni.ni, 0))
+              ELSE CAST(0 AS DOUBLE) END AS sim
+  FROM rnbsz nb
+  JOIN rnasz na ON nb.qid = na.qid
+  LEFT JOIN rnisz ni ON nb.qid = ni.qid AND nb.rdoc = ni.rdoc
+),
+rrefs AS (
+  SELECT e.qid, round(s.sim, 6) AS sim, round(e.est, 6) AS est
+  FROM rest e JOIN rsims s ON e.qid = s.qid AND e.rdoc = s.rdoc
+  WHERE s.sim > 0
+),
+rwavg AS (
+  SELECT qid, SUM(sim * est) / SUM(sim) AS wrel FROM rrefs GROUP BY qid
+)
+SELECT v.qid,
+       round(0.5 * v.est + (1.0 - 0.5) * COALESCE(w.wrel, v.est), 6)
+         AS est
+FROM vsest v LEFT JOIN rwavg w ON v.qid = w.qid
+ORDER BY v.qid"""
+        )
     if name == "stoch_attr_perms":
         # H6 AttributeValueBasedSwapper (stochastic_qpp/
         # AttributeValueBasedSwapper.java:21-53): identical swap
@@ -3171,6 +3289,106 @@ def _srlm_knn_rerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rank")
 
 
+def _qpp_corel_spec_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 contract (``qpp.corel_specificity``): the real combine —
+    lam*P7_est + (1-lam)*coalesce(weighted rel-doc-run estimate,
+    P7_est) — over the real reference machinery: per query, its first
+    two rel docs used AS QUERIES (Block-Max retrieval + NQC + top-10
+    Jaccard vs the base run), vs the full SQL twin in
+    ``build_sql("qpp_corel_spec")``. Zero-sim references are dropped
+    before the average (see the twin's comment on the 0/0 Spark-NULL vs
+    DuckDB-NaN asymmetry)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .operators.correlation import jaccard_overlap_df
+    from .operators.index import build_index
+    from .operators.postings import CompactIndex, bmw_search
+    from .operators.qpp import (
+        corel_specificity,
+        nqc,
+        query_idf_stats,
+        variant_specificity,
+    )
+    from .operators.retrieval import compile_queries
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = build_index(docs, analyzer="simple", cache=False)
+    compact = CompactIndex.from_index(idx, n_segments=4)
+    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
+    qt = compile_queries(qdf, "simple")
+    run = bmw_search(compact, qt, k=100, rank_round=4).select(
+        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
+    )
+    stats = query_idf_stats(qt, idx.term_stats, idx.stats.n_docs)
+    base_nqc = nqc(run, stats, k=50)
+    refs = None
+    for vid in (1, 2):
+        vqdf = spark.createDataFrame(
+            [(q, t) for q, v, t in VARIANTSET if v == vid],
+            "qid string, qtext string",
+        )
+        vqt = compile_queries(vqdf, "simple")
+        vrun = bmw_search(compact, vqt, k=100, rank_round=4).select(
+            "qid", "doc_id", "rank", F.round("score", 4).alias("score")
+        )
+        vstats = query_idf_stats(vqt, idx.term_stats, idx.stats.n_docs)
+        vest = nqc(vrun, vstats, k=50)
+        sim = jaccard_overlap_df(run, vrun, k=10)
+        r = vest.join(sim, "qid").select(
+            "qid", F.col("jaccard").alias("sim"), F.col("nqc").alias("est")
+        )
+        refs = r if refs is None else refs.unionByName(r)
+    vs = variant_specificity(base_nqc, "nqc", refs, lam=0.5).select(
+        "qid", F.round("est", 6).alias("est")
+    )
+    # the synthetic qrels of QRELS_CTE, rendered as DataFrame ops
+    m = (F.col("doc_id") + F.substring("qid", 2, 10).cast("int")) % 10
+    qrels = (
+        docs.select("doc_id").crossJoin(qdf.select("qid"))
+        .withColumn(
+            "rel",
+            F.when(m == 0, 3).when(m == 1, 2).when(m == 2, 1).otherwise(0),
+        )
+        .filter(F.col("rel") > 0)
+        .select("qid", "doc_id", "rel")
+    )
+    w = Window.partitionBy("qid").orderBy("doc_id")
+    rdocs = (
+        qrels.withColumn("j", F.row_number().over(w))
+        .filter(F.col("j") <= 2)
+        .select("qid", "doc_id", "j")
+    )
+    reldoc_refs = None
+    for j in (1, 2):
+        rqdf = (
+            rdocs.filter(F.col("j") == j)
+            .join(docs, "doc_id")
+            .select("qid", F.col("text").alias("qtext"))
+        )
+        rqt = compile_queries(rqdf, "simple")
+        rrun = bmw_search(compact, rqt, k=100, rank_round=4).select(
+            "qid", "doc_id", "rank", F.round("score", 4).alias("score")
+        )
+        rstats = query_idf_stats(rqt, idx.term_stats, idx.stats.n_docs)
+        rest = nqc(rrun, rstats, k=50)
+        rsim = jaccard_overlap_df(run, rrun, k=10)
+        r = rest.join(rsim, "qid").select(
+            "qid",
+            F.round(F.col("jaccard"), 6).alias("sim"),
+            F.round(F.col("nqc"), 6).alias("est"),
+        ).filter(F.col("sim") > 0)
+        reldoc_refs = (
+            r if reldoc_refs is None else reldoc_refs.unionByName(r)
+        )
+    out = corel_specificity(vs, reldoc_refs, lam=0.5)
+    return out.select(
+        "qid", F.round("est", 6).alias("est")
+    ).orderBy("qid")
+
+
 def _stoch_attr_perms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H6 contract (``stochastic.swap_permutations`` under the
     AttributeValueBasedSwapper configuration, reference
@@ -3430,6 +3648,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["qpp_preretrieved"] = _qpp_preretrieved_query
     out["analyzed_export"] = _analyzed_export_query
     out["stoch_attr_perms"] = _stoch_attr_perms_query
+    out["qpp_corel_spec"] = _qpp_corel_spec_query
     return out
 
 
@@ -3492,4 +3711,6 @@ def duckdb_oracles() -> dict[str, str]:
     out["analyzed_export"] = build_sql("analyzed_export", "duckdb")
     # the H6 attribute-swap enumerator variant (no rank-1 forcing)
     out["stoch_attr_perms"] = build_sql("stoch_attr_perms", "duckdb")
+    # the P8 rel-doc-as-query reference combine over the P7 estimate
+    out["qpp_corel_spec"] = build_sql("qpp_corel_spec", "duckdb")
     return out
