@@ -1014,6 +1014,129 @@ rr AS (
 )
 SELECT qid, doc_id, rank, score FROM rr WHERE rank <= 10
 ORDER BY qid, rank"""
+    if name == "qpp_stoch_eval":
+        # H7 StochasticQPPEvaluation (stochastic_qpp/
+        # StochasticQPPEvaluation.java:94-227) under the md5 seeded
+        # draw (stochastic.sample_swapped_runs permute="md5"): per
+        # sample s in 0..4, draw ONE swap permutation of the BM25
+        # top-10 — pick id = argmin over p in 0..n_pairs of
+        # md5('31415:s:qid:p'), 0 = identity, p>0 = the (r ASC, nr ASC)
+        # pair p-1 with rank-1 always swappable — then recompute AP
+        # (round 4) on the swapped run and NQC (round 6; scores stay
+        # attached to ranks, so it equals the base NQC) and report
+        # Kendall tau-b (AP vs NQC across queries, round 4) per sample.
+        str_s = D["STR"]("t.s")
+        str_pid = D["STR"]("a.pid")
+        samples = ", ".join(f"({s})" for s in range(5))
+        return base + "," + QRELS_CTE + f""",
+run AS (SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 10),
+filled AS (
+  SELECT r.qid, r.doc_id, r.rank, r.score, COALESCE(s.rel, 0) AS rel
+  FROM run r LEFT JOIN qrels s ON r.qid = s.qid AND r.doc_id = s.doc_id
+),
+relranks AS (
+  SELECT qid, rank AS r FROM filled WHERE rel >= 1 OR rank = 1
+),
+nonrelranks AS (
+  SELECT qid, rank AS nr FROM filled WHERE rel < 1
+),
+permids AS (
+  SELECT rr.qid, rr.r, nr.nr,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY rr.qid ORDER BY rr.r, nr.nr
+         ) AS INT) AS perm_id
+  FROM relranks rr
+  JOIN nonrelranks nr ON rr.qid = nr.qid AND nr.nr <> rr.r
+),
+allpids AS (
+  SELECT qid, CAST(0 AS INT) AS pid FROM (SELECT DISTINCT qid FROM run) q
+  UNION ALL
+  SELECT qid, perm_id AS pid FROM permids
+),
+samples AS (SELECT s FROM (VALUES {samples}) AS t(s)),
+choice AS (
+  SELECT qid, s, pid FROM (
+    SELECT a.qid, t.s, a.pid,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.qid, t.s
+             ORDER BY md5('31415:' || {str_s} || ':' || a.qid || ':'
+                          || {str_pid}), a.pid
+           ) AS rn
+    FROM allpids a CROSS JOIN samples t
+  ) x WHERE rn = 1
+),
+srun AS (
+  SELECT c.qid, c.s, f.rank,
+         CASE WHEN c.pid > 0 AND f.rank = p.r THEN fn.doc_id
+              WHEN c.pid > 0 AND f.rank = p.nr THEN fr.doc_id
+              ELSE f.doc_id END AS doc_id,
+         f.score
+  FROM choice c
+  JOIN filled f ON f.qid = c.qid
+  LEFT JOIN permids p ON p.qid = c.qid AND p.perm_id = c.pid
+  LEFT JOIN filled fr ON fr.qid = c.qid AND fr.rank = p.r
+  LEFT JOIN filled fn ON fn.qid = c.qid AND fn.rank = p.nr
+),
+sfilled AS (
+  SELECT r.qid, r.s, r.doc_id, r.rank, COALESCE(q.rel, 0) AS rel
+  FROM srun r LEFT JOIN qrels q ON r.qid = q.qid AND r.doc_id = q.doc_id
+),
+sperdoc AS (
+  SELECT qid, s, rank,
+         CASE WHEN rel >= 2 THEN 1 ELSE 0 END AS is_rel,
+         SUM(CASE WHEN rel >= 2 THEN 1 ELSE 0 END) OVER (
+           PARTITION BY qid, s ORDER BY rank
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum_rel
+  FROM sfilled
+),
+sqstats AS (
+  SELECT qid, SUM(CASE WHEN rel >= 2 THEN 1 ELSE 0 END) AS num_rel
+  FROM qrels GROUP BY qid
+),
+sap AS (
+  SELECT p.qid, p.s,
+         round(CASE WHEN st.num_rel > 0 THEN
+           SUM(CASE WHEN is_rel = 1
+                    THEN CAST(cum_rel AS DOUBLE) / rank ELSE 0 END)
+             / st.num_rel ELSE 0 END, 4) AS x
+  FROM sperdoc p JOIN sqstats st ON p.qid = st.qid
+  GROUP BY p.qid, p.s, st.num_rel
+),
+nqcv AS (
+  SELECT qid, var_pop(score) AS v FROM run WHERE rank <= 50 GROUP BY qid
+),
+aidf AS (
+  SELECT q.qid,
+         AVG(ln(CAST(g.n_docs AS DOUBLE)
+                / GREATEST(COALESCE(s.df, 0), 1))) AS aidf
+  FROM qterms q LEFT JOIN tstats s ON q.term = s.term CROSS JOIN g
+  GROUP BY q.qid
+),
+yv AS (
+  SELECT nv.qid, round(nv.v * a.aidf, 6) AS y
+  FROM nqcv nv JOIN aidf a ON nv.qid = a.qid
+),
+mg2 AS (
+  SELECT a.s, a.qid, a.x, y.y FROM sap a JOIN yv y ON a.qid = y.qid
+),
+pr2 AS (
+  SELECT a.s, SIGN(a.x - b.x) AS dx, SIGN(a.y - b.y) AS dy
+  FROM mg2 a JOIN mg2 b ON a.s = b.s AND a.qid < b.qid
+),
+tb2 AS (
+  SELECT s,
+         SUM(CASE WHEN dx * dy > 0 THEN CAST(1 AS DOUBLE) ELSE 0 END)
+           AS conc,
+         SUM(CASE WHEN dx * dy < 0 THEN CAST(1 AS DOUBLE) ELSE 0 END)
+           AS disc,
+         SUM(CASE WHEN dx = 0 THEN CAST(1 AS DOUBLE) ELSE 0 END) AS tx,
+         SUM(CASE WHEN dy = 0 THEN CAST(1 AS DOUBLE) ELSE 0 END) AS ty,
+         CAST(COUNT(*) AS DOUBLE) AS n0
+  FROM pr2 GROUP BY s
+)
+SELECT s, round((conc - disc) / sqrt((n0 - tx) * (n0 - ty)), 4) AS tau
+FROM tb2 ORDER BY s"""
     if name == "qpp_corel_spec":
         # P8 CoRelSpecificity (qpp/CoRelsSpecificity-style combine):
         # est = lam*P7_est + (1-lam)*coalesce(weighted rel-doc-run
@@ -3289,6 +3412,50 @@ def _srlm_knn_rerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rank")
 
 
+def _qpp_stoch_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H7 contract (``experiments.stochastic_qpp_evaluation`` with the
+    md5 seeded draw): the REAL harness — one composite-qid DataFrame
+    batch recomputing AP and NQC on every sampled swap, correlated per
+    sample by the real ``kendall_tau`` — vs the full SQL twin in
+    ``build_sql("qpp_stoch_eval")``. ``metric_round=4``/``est_round=6``
+    (the contract device) make both engines correlate identical
+    doubles; the sampled swap itself is value-pinned through the
+    argmin-md5 pick shared with the twin."""
+    from pyspark.sql import functions as F
+
+    from .operators.experiments import stochastic_qpp_evaluation
+    from .operators.index import build_index
+    from .operators.postings import CompactIndex, bmw_search
+    from .operators.retrieval import compile_queries
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = build_index(docs, analyzer="simple", cache=False)
+    compact = CompactIndex.from_index(idx, n_segments=4)
+    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
+    qt = compile_queries(qdf, "simple")
+    run = bmw_search(compact, qt, k=10, rank_round=4).select(
+        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
+    )
+    m = (F.col("doc_id") + F.substring("qid", 2, 10).cast("int")) % 10
+    qrels = (
+        docs.select("doc_id").crossJoin(qdf.select("qid"))
+        .withColumn(
+            "rel",
+            F.when(m == 0, 3).when(m == 1, 2).when(m == 2, 1).otherwise(0),
+        )
+        .filter(F.col("rel") > 0)
+        .select("qid", "doc_id", "rel")
+    )
+    res = stochastic_qpp_evaluation(
+        idx, qdf, qrels, run, num_samples=5, seed=31415, qpp_k=50,
+        permute="md5", metric_round=4, est_round=6,
+    )
+    rows = [(s, round(t, 4)) for s, t in sorted(res["sample_taus"].items())]
+    return spark.createDataFrame(rows, "s int, tau double").orderBy("s")
+
+
 def _qpp_corel_spec_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 contract (``qpp.corel_specificity``): the real combine —
     lam*P7_est + (1-lam)*coalesce(weighted rel-doc-run estimate,
@@ -3649,6 +3816,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["analyzed_export"] = _analyzed_export_query
     out["stoch_attr_perms"] = _stoch_attr_perms_query
     out["qpp_corel_spec"] = _qpp_corel_spec_query
+    out["qpp_stoch_eval"] = _qpp_stoch_eval_query
     return out
 
 
@@ -3713,4 +3881,6 @@ def duckdb_oracles() -> dict[str, str]:
     out["stoch_attr_perms"] = build_sql("stoch_attr_perms", "duckdb")
     # the P8 rel-doc-as-query reference combine over the P7 estimate
     out["qpp_corel_spec"] = build_sql("qpp_corel_spec", "duckdb")
+    # the H7 stochastic harness under the md5 seeded draw
+    out["qpp_stoch_eval"] = build_sql("qpp_stoch_eval", "duckdb")
     return out

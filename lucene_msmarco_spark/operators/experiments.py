@@ -180,10 +180,18 @@ def stochastic_qpp_evaluation(
     qpp_k: int = 50,
     cfg: EngineConfig = EngineConfig(),
     estimator: Callable[[DataFrame], DataFrame] | None = None,
+    permute: str = "rng",
+    metric_round: int | None = None,
+    est_round: int | None = None,
 ) -> dict:
     """H7 — per perturbation sample: recompute metric + NQC on the
     swapped run; report τ per sample and the baseline τ. All samples are
     evaluated in ONE DataFrame job batch via the qid#sample composite key.
+
+    ``permute`` is forwarded to ``sample_swapped_runs`` ("md5" = the
+    SQL-expressible seeded draw). ``metric_round``/``est_round`` round
+    the per-sample correlation inputs (contract-query device: both
+    engines then correlate identical doubles); ``None`` keeps raw.
     """
     from .stochastic import sample_swapped_runs
 
@@ -202,7 +210,7 @@ def stochastic_qpp_evaluation(
     base_tau = kendall_tau(gt0, pred0)
 
     samples = sample_swapped_runs(
-        filled, num_samples, seed=seed
+        filled, num_samples, seed=seed, permute=permute
     )
     srun = samples.select(
         composite_qid().alias("qid"), "doc_id", "rank", "score"
@@ -230,10 +238,17 @@ def stochastic_qpp_evaluation(
         .withColumn("oqid", F.substring_index("qid", "#", 1))
         .collect()
     )
+    def _rnd(v: float, nd: int | None) -> float:
+        return round(v, nd) if nd is not None else v
+
     per_sample: dict[int, list] = {}
     for r in joined:
         per_sample.setdefault(r["sample"], []).append(
-            (r["oqid"], float(r[metric_col]), float(r[est_col] or 0.0))
+            (
+                r["oqid"],
+                _rnd(float(r[metric_col]), metric_round),
+                _rnd(float(r[est_col] or 0.0), est_round),
+            )
         )
     taus = {}
     for s, rows in sorted(per_sample.items()):

@@ -92,10 +92,20 @@ def sample_swapped_runs(
     seed: int = 31415,
     top_doc_always_swapped: bool = True,
     min_rel: int = 1,
+    permute: str = "rng",
 ) -> DataFrame:
     """H5 ``sample()`` — ``num_samples`` draws (with replacement) from the
     swap-permutation set of each query. Output: (qid, sample, doc_id,
-    rank, score)."""
+    rank, score).
+
+    ``permute``: "rng" (default — the reference's random draw, made
+    deterministic by the explicit seed) or "md5" — pick for (qid, s) =
+    argmin over pick ids p in 0..len(pairs) of
+    md5(f"{seed}:{s}:{qid}:{p}") — the SQL-expressible seeded draw
+    (the same device as ``qpp._permutation``), used by the
+    ``qpp_stoch_eval`` contract query. Pick id 0 is the identity and
+    pick id p>0 is the (r ASC, nr ASC)-ordered swap pair p-1, i.e. the
+    perm_id numbering of ``swap_permutations``."""
 
     def one(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("rank").reset_index(drop=True)
@@ -112,8 +122,21 @@ def sample_swapped_runs(
                  if nr != r]
         outs = []
         for s in range(num_samples):
-            rng = _rng(key[0], s, seed)
-            pick = int(rng.integers(0, len(pairs) + 1))  # 0 = identity
+            if permute == "md5":
+                import hashlib
+
+                pick = min(
+                    range(len(pairs) + 1),
+                    key=lambda p: (
+                        hashlib.md5(
+                            f"{seed}:{s}:{key[0]}:{p}".encode()
+                        ).hexdigest(),
+                        p,
+                    ),
+                )
+            else:
+                rng = _rng(key[0], s, seed)
+                pick = int(rng.integers(0, len(pairs) + 1))  # 0=identity
             d = docs.copy()
             if pick > 0:
                 r, nr = pairs[pick - 1]
