@@ -1014,6 +1014,30 @@ rr AS (
 )
 SELECT qid, doc_id, rank, score FROM rr WHERE rank <= 10
 ORDER BY qid, rank"""
+    if name == "eval_fairness":
+        # E9 fairness pre-evaluated (qrels/PreEvaluatedResults.java:
+        # 16-34, FairnessMetrics.java:9-15): combined = awrf * ndcg
+        # over a pre-evaluated row set — ndcg from the real E1-E5
+        # machinery, awrf a deterministic per-query value
+        # round(1/(1+qnum), 4) standing in for the externally-supplied
+        # fairness score.
+        return (
+            base + "," + QRELS_CTE + "," + EVAL_BODY + """,
+pre AS (
+  SELECT qid, ndcg,
+         round(1.0 / (1 + CAST(substr(qid, 2) AS INT)), 4) AS awrf
+  FROM permetrics
+)
+SELECT qid, ndcg, awrf, round(awrf * ndcg, 6) AS combined
+FROM pre ORDER BY qid"""
+        )
+    if name == "doc_lookup":
+        # Q9 ID point lookup (stored-field fetch by doc id): the
+        # engine's broadcast-filter over the doc store; ids are a
+        # deterministic arithmetic subset so both sides derive them.
+        return """
+SELECT doc_id, text FROM documents
+WHERE doc_id % 97 = 0 ORDER BY doc_id"""
     if name == "qpp_stoch_eval":
         # H7 StochasticQPPEvaluation (stochastic_qpp/
         # StochasticQPPEvaluation.java:94-227) under the md5 seeded
@@ -3412,6 +3436,65 @@ def _srlm_knn_rerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rank")
 
 
+def _eval_fairness_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 contract (``eval.fairness_combined``, reference
+    ``qrels/PreEvaluatedResults.java:16-34``): the real combined =
+    awrf * ndcg over the real per-query nDCG (E1-E5 machinery) and a
+    deterministic awrf stand-in, vs the SQL twin in
+    ``build_sql("eval_fairness")``."""
+    from pyspark.sql import functions as F
+
+    from .operators.eval import fairness_combined, per_query_metrics
+    from .operators.index import build_index
+    from .operators.postings import CompactIndex, bmw_search
+    from .operators.retrieval import compile_queries
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = build_index(docs, analyzer="simple", cache=False)
+    compact = CompactIndex.from_index(idx, n_segments=4)
+    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
+    qt = compile_queries(qdf, "simple")
+    run = bmw_search(compact, qt, k=100, rank_round=4).select(
+        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
+    )
+    m = (F.col("doc_id") + F.substring("qid", 2, 10).cast("int")) % 10
+    qrels = (
+        docs.select("doc_id").crossJoin(qdf.select("qid"))
+        .withColumn(
+            "rel",
+            F.when(m == 0, 3).when(m == 1, 2).when(m == 2, 1).otherwise(0),
+        )
+        .filter(F.col("rel") > 0)
+        .select("qid", "doc_id", "rel")
+    )
+    pre = per_query_metrics(run, qrels).select(
+        "qid",
+        F.round("ndcg", 4).alias("ndcg"),
+        F.round(
+            F.lit(1.0) / (F.lit(1) + F.substring("qid", 2, 10).cast("int")),
+            4,
+        ).alias("awrf"),
+    )
+    out = fairness_combined(pre)
+    return out.select(
+        "qid", "ndcg", "awrf", F.round("combined", 6).alias("combined")
+    ).orderBy("qid")
+
+
+def _doc_lookup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 contract (ID point lookup / X6 stored-field fetch): the
+    engine's filter over the doc store for a deterministic id subset,
+    vs the trivial SQL twin in ``build_sql("doc_lookup")``."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return docs.filter(F.col("doc_id") % 97 == 0).orderBy("doc_id")
+
+
 def _qpp_stoch_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H7 contract (``experiments.stochastic_qpp_evaluation`` with the
     md5 seeded draw): the REAL harness — one composite-qid DataFrame
@@ -3817,6 +3900,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["stoch_attr_perms"] = _stoch_attr_perms_query
     out["qpp_corel_spec"] = _qpp_corel_spec_query
     out["qpp_stoch_eval"] = _qpp_stoch_eval_query
+    out["eval_fairness"] = _eval_fairness_query
+    out["doc_lookup"] = _doc_lookup_query
     return out
 
 
@@ -3883,4 +3968,7 @@ def duckdb_oracles() -> dict[str, str]:
     out["qpp_corel_spec"] = build_sql("qpp_corel_spec", "duckdb")
     # the H7 stochastic harness under the md5 seeded draw
     out["qpp_stoch_eval"] = build_sql("qpp_stoch_eval", "duckdb")
+    # the E9 pre-evaluated fairness combine and the Q9 point lookup
+    out["eval_fairness"] = build_sql("eval_fairness", "duckdb")
+    out["doc_lookup"] = build_sql("doc_lookup", "duckdb")
     return out
