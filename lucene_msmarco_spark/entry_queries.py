@@ -37,7 +37,8 @@ qpp_lambda_grid(H2), qpp_variant_spec(P7/C10), qpp_preretrieved
 (H8/Q8/E8/P9), corr_polyfit(C11), lmdir_mu_sweep(H3/E6),
 stoch_swap_perms(H5), srlm_rerank(F8/F9), srlm_knn_rerank(Q10/F10),
 srlm_knn_pseudo(F12), bm25_boosted_topk(Q2), analyzed_export(T3),
-bmw_topk, incremental_topk.
+bpe_encode(T4), fdbk_term_stats(F1/X5), doc_offsets(X7),
+trec_roundtrip(S9/S6), bmw_topk, incremental_topk.
 """
 
 from __future__ import annotations
@@ -93,6 +94,27 @@ KNNTRAINSET: list[tuple[str, str]] = [
 
 _TABLES = ("documents", "embeddings", "events", "lineitem", "orders",
            "customer", "supplier", "part", "nation", "region")
+
+# Frozen BPE merge table for the T4 contract row: the first 32 merges
+# ``functions.bpe.train_bpe`` learns from the sf0.001 documents table
+# (alnum-cleaned, lowercased), inlined as a literal so the row is
+# sf-independent and both engines see byte-identical rules. Training
+# itself is iterative/driver-side (pytest-covered); this pins the
+# ENCODER — the greedy lowest-rank merge loop — at value level.
+# Validity invariant (asserted in tests/test_bpe_contract.py): every
+# compound token in pair i was produced by an earlier merge j < i,
+# which is what makes rank-order sequential replacement equivalent to
+# the greedy loop (see build_sql("bpe_encode")).
+BPE_MERGESET: list[tuple[str, str]] = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("o", "r"), ("t", "</w>"),
+    ("er", "</w>"), ("o", "w"), ("ow", "</w>"), ("l", "u"), ("i", "n"),
+    ("y", "</w>"), ("a", "r"), ("p", "ar"), ("g", "</w>"), ("a", "s"),
+    ("h", "</w>"), ("a", "</w>"), ("s", "t"), ("a", "t"), ("a", "n</w>"),
+    ("c", "an</w>"), ("s", "can</w>"), ("c", "o"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n</w>"), ("d", "ow</w>"), ("in", "dow</w>"),
+    ("w", "indow</w>"), ("d", "er</w>"), ("or", "der</w>"),
+    ("or", "t</w>"),
+]
 
 
 def _dialect(d: str) -> dict[str, object]:
@@ -1689,6 +1711,76 @@ FROM rmse_c CROSS JOIN pw CROSS JOIN qs CROSS JOIN qca CROSS JOIN sr"""
         return (
             f"SELECT doc_id, {D['JOIN_ARR'](filt)} AS analyzed "
             "FROM documents ORDER BY doc_id"
+        )
+    if name == "bpe_encode":
+        # T4 BPE encode (tokenization/bpe_msmarco.sh:1-63 re-encode
+        # step): each alnum word of the lowercased text rewritten as
+        # space-joined subword units under the frozen BPE_MERGESET,
+        # original word order preserved. The twin encodes a word as a
+        # '#'-delimited token string ("#t##h##e##</w>#": every token
+        # wrapped in its own '#...#', so adjacent tokens are separated
+        # by '##' and a replace can never share a boundary character)
+        # and applies each merge rule ONCE, in rank order, as
+        # replace('#u##v#' -> '#uv#'). That is equivalent to the
+        # greedy lowest-rank merge loop in functions/bpe.py because a
+        # trained merge list is causally ordered (a pair's compound
+        # tokens are always produced by earlier merges, so processing
+        # rule i can neither miss nor re-enable a rule <= i), and the
+        # double delimiter makes one left-to-right replace-all pass
+        # pick exactly the leftmost-first pairing the loop picks
+        # (equivalence also brute-checked word-by-word in
+        # tests/test_bpe_contract.py). Words are restricted to
+        # [a-z0-9_] so '#' and the '</w>' marker cannot collide with
+        # word characters.
+        if d == "spark":
+            enc = "concat(regexp_replace(w, '(.)', '#$1#'), '#</w>#')"
+        else:
+            enc = "concat(regexp_replace(w, '(.)', '#\\1#', 'g'), '#</w>#')"
+        for u, v in BPE_MERGESET:
+            enc = f"replace({enc}, '#{u}##{v}#', '#{u}{v}#')"
+        enc = f"replace({enc}, '</w>', '')"
+        if d == "spark":
+            enc = f"array_join(filter(split({enc}, '#'), t -> t != ''), ' ')"
+        else:
+            enc = (f"array_to_string(list_filter(string_split({enc}, '#'), "
+                   "t -> t != ''), ' ')")
+        toks = D["TOKENS"]("text")
+        return (
+            f"WITH dtok AS (SELECT doc_id, {toks} AS ws FROM documents) "
+            f"SELECT doc_id, "
+            f"{D['JOIN_ARR'](D['MAP_I']('ws', 'w', enc))} AS bpe_text "
+            f"FROM dtok WHERE {D['LEN']('ws')} > 0 ORDER BY doc_id"
+        )
+    if name == "fdbk_term_stats":
+        # F1/X5 term-vector fetch + top-docs term stats
+        # (fdbk/RelevanceModelIId.java:66-99 buildTermStats): for the
+        # BM25 top-10 of each query, the per-term total tf and the
+        # count of top docs containing it.
+        return base + """,
+top AS (SELECT qid, doc_id FROM ranked WHERE rank <= 10),
+tv AS (
+  SELECT t.qid, t.doc_id, f.term, f.tf
+  FROM top t JOIN tf f ON t.doc_id = f.doc_id
+)
+SELECT qid, term, CAST(SUM(tf) AS BIGINT) AS tf_top,
+       CAST(COUNT(*) AS BIGINT) AS df_top
+FROM tv GROUP BY qid, term ORDER BY qid, term"""
+    if name == "doc_offsets":
+        # X7 id<->offset map (utils/IndexUtils.java:22-62, the "MS
+        # MARCO docids == Lucene doc offsets" invariant): the dense
+        # 0-based id is a pure function of the stable key order.
+        return (
+            "SELECT doc_id AS orig_id, "
+            "CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) "
+            "AS doc_id FROM documents ORDER BY orig_id"
+        )
+    if name == "trec_roundtrip":
+        # S9 sink + S6 reader round-trip: the BM25 top-10 written as
+        # TREC 6-col lines (%.4f score) and parsed back must equal the
+        # ranked rows (doc_id comes back as the string the line holds).
+        return base + (
+            f"\nSELECT qid, {D['STR']('doc_id')} AS doc_id, rank, score "
+            "FROM ranked WHERE rank <= 10 ORDER BY qid, rank"
         )
     if name == "qpp_preretrieved":
         # H8 (QPP on a pre-retrieved run) chaining Q8 induce_scores +
@@ -3693,6 +3785,130 @@ def _analyzed_export_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analyzed_export(docs, analyzer="simple").orderBy("doc_id")
 
 
+def _bpe_encode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 contract (``functions.bpe``, reference
+    ``tokenization/bpe_msmarco.sh:1-63`` re-encode step): the real
+    encoder — greedy lowest-rank merges in an Arrow-batched
+    distinct-word dictionary, broadcast-joined and order-rebuilt — under
+    the frozen ``BPE_MERGESET``, vs the rank-order sequential-replace
+    SQL twin in ``build_sql("bpe_encode")``. Text is normalized to
+    space-joined ``[a-z0-9_]+`` runs on both sides so the delimiter
+    characters the twin uses cannot occur in words."""
+    from pyspark.sql import functions as F
+
+    from .functions.bpe import BPEModel, bpe_encode_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    clean = docs.select(
+        "doc_id",
+        F.array_join(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)"), " "
+        ).alias("text"),
+    ).filter(F.col("text") != "")
+    model = BPEModel(merges=list(BPE_MERGESET))
+    return (
+        bpe_encode_text(clean, model)
+        .select("doc_id", "bpe_text")
+        .orderBy("doc_id")
+    )
+
+
+def _fdbk_term_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/X5 contract (``feedback.top_docs_term_stats``, reference
+    ``fdbk/RelevanceModelIId.java:66-99``): the real term-vector fetch
+    over the BM25 top-10 run (the same ``rank_round=4`` segmented path
+    the ``bmw_topk`` row proves equal to the ranked oracle) vs the SQL
+    twin in ``build_sql("fdbk_term_stats")``. Integer-valued — no
+    float rounding in the surfaced columns."""
+    from pyspark.sql import functions as F
+
+    from .operators.feedback import top_docs_term_stats
+    from .operators.index import build_index
+    from .operators.postings import CompactIndex, bmw_search
+    from .operators.retrieval import compile_queries
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = build_index(docs, analyzer="simple", cache=False)
+    compact = CompactIndex.from_index(idx, n_segments=4)
+    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
+    qt = compile_queries(qdf, "simple")
+    run = bmw_search(compact, qt, k=10, rank_round=4)
+    stats = top_docs_term_stats(idx, run, num_top_docs=10)
+    return stats.term_stats.select(
+        "qid", "term",
+        F.col("tf_top").cast("long").alias("tf_top"),
+        F.col("df_top").cast("long").alias("df_top"),
+    ).orderBy("qid", "term")
+
+
+def _doc_offsets_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 contract (``index.assign_doc_ids``, reference
+    ``utils/IndexUtils.java:22-62`` docid==offset invariant): the real
+    two-phase dense-id assignment (range partition -> partition-local
+    row_number -> broadcast prefix-sum of partition sizes) must equal
+    the logical spec ``ROW_NUMBER() OVER (ORDER BY key) - 1`` in
+    ``build_sql("doc_offsets")`` — i.e. the scalable implementation is
+    value-identical to the single-window one it replaces."""
+    from pyspark.sql import functions as F
+
+    from .operators.index import assign_doc_ids
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("orig_id"), "text"
+    )
+    out = assign_doc_ids(docs, keys=["orig_id"])
+    res = out.select("orig_id", "doc_id").orderBy("orig_id")
+    rows = res.collect()  # materialize, then release the pinned store
+    out.unpersist()
+    return spark.createDataFrame(rows, res.schema)
+
+
+def _trec_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9+S6 contract (``writers.write_trec_run`` ->
+    ``readers.read_res``; reference ``retrieval/OneStepRetriever.java:
+    168-174`` writing, ``qrels/AllRetrievedResults.java:119-146``
+    parsing): the BM25 top-10 run written as TREC 6-col text and parsed
+    back must equal the ranked oracle rows. Scores are pre-rounded to 4
+    so the %.4f line format is an identity and the parsed double equals
+    ``round(score, 4)`` exactly. The parsed rows are materialized
+    before the scratch dir is deleted."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .operators.index import build_index
+    from .operators.postings import CompactIndex, bmw_search
+    from .operators.retrieval import compile_queries
+    from .sources.readers import read_res
+    from .sources.writers import write_trec_run
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = build_index(docs, analyzer="simple", cache=False)
+    compact = CompactIndex.from_index(idx, n_segments=4)
+    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
+    qt = compile_queries(qdf, "simple")
+    run = bmw_search(compact, qt, k=10, rank_round=4).select(
+        "qid", "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round("score", 4).alias("score"),
+    )
+    tmp = tempfile.mkdtemp(prefix="lms_trec_contract_")
+    try:
+        write_trec_run(run, f"{tmp}/run", run_name="contract")
+        back = read_res(spark, f"{tmp}/run")
+        rows = back.collect()
+        return spark.createDataFrame(rows, back.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _qpp_preretrieved_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H8 contract: the real chain over a pre-retrieved run —
     ``retrieval.induce_scores`` (Q8, LM-JM), ``eval.rerank_by_score``
@@ -3902,6 +4118,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["qpp_stoch_eval"] = _qpp_stoch_eval_query
     out["eval_fairness"] = _eval_fairness_query
     out["doc_lookup"] = _doc_lookup_query
+    out["bpe_encode"] = _bpe_encode_query
+    out["fdbk_term_stats"] = _fdbk_term_stats_query
+    out["doc_offsets"] = _doc_offsets_query
+    out["trec_roundtrip"] = _trec_roundtrip_query
     return out
 
 
@@ -3971,4 +4191,13 @@ def duckdb_oracles() -> dict[str, str]:
     # the E9 pre-evaluated fairness combine and the Q9 point lookup
     out["eval_fairness"] = build_sql("eval_fairness", "duckdb")
     out["doc_lookup"] = build_sql("doc_lookup", "duckdb")
+    # the T4 BPE encoder under the frozen merge table vs the rank-order
+    # sequential-replace twin
+    out["bpe_encode"] = build_sql("bpe_encode", "duckdb")
+    # the F1/X5 term-vector fetch over the BM25 top-10
+    out["fdbk_term_stats"] = build_sql("fdbk_term_stats", "duckdb")
+    # the X7 two-phase dense-id assignment vs the single-window spec
+    out["doc_offsets"] = build_sql("doc_offsets", "duckdb")
+    # the S9 TREC sink + S6 reader round-trip vs the ranked rows
+    out["trec_roundtrip"] = build_sql("trec_roundtrip", "duckdb")
     return out
