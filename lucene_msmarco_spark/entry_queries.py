@@ -277,6 +277,41 @@ LMDIR = (
 LMJM = "ln(1 + 0.25 * (tf / doclen) * (g.n_docs / df))"
 TFIDF = "tf * ln(g.n_docs / df)"
 
+# Shared RM-conditional weight chain (F3 over a raw-sim LM-Dir run):
+# appended after _ir_base(d, LMDIR). `run` re-joins `scored` for the
+# UNROUNDED retrieval score (the drivers do not round mid-chain);
+# membership is pinned by the round-4 rank key. Used by the
+# fdbk_rlm_driver (F6) and fdbk_print_terms (F13) rows.
+_RM_WTS_CTES = """
+run AS (
+  SELECT s.qid, s.doc_id, r.rank, s.score
+  FROM scored s JOIN ranked r ON s.qid = r.qid AND s.doc_id = r.doc_id
+  WHERE r.rank <= 100
+),
+dv AS (
+  SELECT r.qid, r.doc_id, r.rank, r.score AS sim, t.term, t.tf, ds.doclen
+  FROM run r
+  JOIN tf t ON r.doc_id = t.doc_id
+  JOIN dstats ds ON r.doc_id = ds.doc_id
+),
+tstop AS (
+  SELECT qid, term, CAST(COUNT(*) AS BIGINT) AS df_top
+  FROM dv WHERE rank <= 20 GROUP BY qid, term
+),
+sums AS (
+  SELECT qid, SUM(sim) AS sum_sim FROM dv WHERE rank <= 20 GROUP BY qid
+),
+wts AS (
+  SELECT d.qid, d.term,
+         SUM((0.9 * d.tf / d.doclen + (1.0 - 0.9) * ts.df_top / 20.0)
+             * d.sim / s.sum_sim) AS wt
+  FROM dv d
+  JOIN tstop ts ON d.qid = ts.qid AND d.term = ts.term
+  JOIN sums s ON d.qid = s.qid
+  WHERE d.rank <= 20
+  GROUP BY d.qid, d.term
+)"""
+
 QRELS_CTE = """
 qrels AS (
   SELECT qid, doc_id, rel FROM (
@@ -643,6 +678,20 @@ def build_sql(name: str, d: str) -> str:
             "rank, score, 'lms' AS runname "
             "FROM ranked WHERE rank <= 10 ORDER BY qid, rank"
         )
+    if name == "sparse_vec_bm25":
+        # S10 sparse-vector sink (indexing/SparseVecWriter.java:63-164):
+        # every (doc_id, term) weighted with THAT sink's BM25 defaults
+        # k1=1.2 b=0.75 (not the retrieval 0.9/0.4) over exact doclens.
+        return base + """
+SELECT f.doc_id, f.term,
+       round(ln(1 + (g.n_docs - s.df + 0.5) / (s.df + 0.5)) * f.tf * 2.2
+             / (f.tf + 1.2 * (1 - 0.75 + 0.75 * d.doclen / g.avgdl)),
+             6) AS weight
+FROM tf f
+JOIN tstats s ON f.term = s.term
+JOIN dstats d ON f.doc_id = d.doc_id
+CROSS JOIN g
+ORDER BY f.doc_id, f.term"""
     if name == "eval_metrics":
         return (
             base + "," + QRELS_CTE + "," + EVAL_BODY
@@ -2023,6 +2072,15 @@ krr AS (
 )
 SELECT qid, doc_id, rank, score FROM krr WHERE rank <= 10
 ORDER BY qid, rank"""
+    if name == "fdbk_print_terms":
+        # F13 (retrieval/FdbkTermStats.java:24-65, printfdbkterms.sh):
+        # the feedback-term printer — the RM-conditional weights
+        # themselves, over the LM-Dirichlet top-20 with RAW sims (same
+        # chain fdbk_rlm_driver consumes before its KL step), rounded
+        # for the value contract.
+        return _ir_base(d, LMDIR) + "," + _RM_WTS_CTES + """
+SELECT qid, term, round(wt, 6) AS wt FROM wts
+ORDER BY qid, wt DESC, term"""
     if name == "fdbk_rlm_driver":
         # F6 (retrieval/KNNRelModel.java:610-620 relevanceFeedback):
         # the RLM driver's default wiring — LM-Dirichlet retrieval
@@ -2032,35 +2090,7 @@ ORDER BY qid, rank"""
         # retrieval score as sim (the driver does not round mid-chain),
         # so `run` re-joins `scored` for the unrounded value. Round-6
         # rerank key with previous-rank tie-break; score round 4.
-        return _ir_base(d, LMDIR) + """,
-run AS (
-  SELECT s.qid, s.doc_id, r.rank, s.score
-  FROM scored s JOIN ranked r ON s.qid = r.qid AND s.doc_id = r.doc_id
-  WHERE r.rank <= 100
-),
-dv AS (
-  SELECT r.qid, r.doc_id, r.rank, r.score AS sim, t.term, t.tf, ds.doclen
-  FROM run r
-  JOIN tf t ON r.doc_id = t.doc_id
-  JOIN dstats ds ON r.doc_id = ds.doc_id
-),
-tstop AS (
-  SELECT qid, term, CAST(COUNT(*) AS BIGINT) AS df_top
-  FROM dv WHERE rank <= 20 GROUP BY qid, term
-),
-sums AS (
-  SELECT qid, SUM(sim) AS sum_sim FROM dv WHERE rank <= 20 GROUP BY qid
-),
-wts AS (
-  SELECT d.qid, d.term,
-         SUM((0.9 * d.tf / d.doclen + (1.0 - 0.9) * ts.df_top / 20.0)
-             * d.sim / s.sum_sim) AS wt
-  FROM dv d
-  JOIN tstop ts ON d.qid = ts.qid AND d.term = ts.term
-  JOIN sums s ON d.qid = s.qid
-  WHERE d.rank <= 20
-  GROUP BY d.qid, d.term
-),
+        return _ir_base(d, LMDIR) + "," + _RM_WTS_CTES + """,
 kl AS (
   SELECT d.qid, d.doc_id,
          SUM(w.wt * ln(w.wt / (CAST(d.tf AS DOUBLE) / d.doclen))) AS kl
@@ -4013,6 +4043,53 @@ def _corr_polyfit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out, "c2 double, c1 double, c0 double")
 
 
+def _sparse_vec_bm25_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 contract (``writers.sparse_vectors``, reference
+    ``indexing/SparseVecWriter.java:63-164``): the real sink — index
+    tokens joined to term stats, weighted with the sink's own BM25
+    defaults k1=1.2 b=0.75 — vs the SQL twin in
+    ``build_sql("sparse_vec_bm25")``."""
+    from pyspark.sql import functions as F
+
+    from .config import BM25Config
+    from .operators.index import build_index
+    from .sources.writers import sparse_vectors
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = build_index(docs, analyzer="simple", cache=False)
+    vecs = sparse_vectors(idx, weighting="bm25",
+                          bm25=BM25Config(k1=1.2, b=0.75))
+    return vecs.select(
+        "doc_id", "term", F.round("weight", 6).alias("weight")
+    ).orderBy("doc_id", "term")
+
+
+def _fdbk_print_terms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 contract (``feedback.feedback_term_stats``, reference
+    ``retrieval/FdbkTermStats.java:24-65`` / ``printfdbkterms.sh``): the
+    real printer — LM-Dirichlet retrieve (raw sims, round-4 rank
+    membership), RM-conditional weights on the top-20, sorted — vs the
+    shared ``_RM_WTS_CTES`` twin in ``build_sql("fdbk_print_terms")``."""
+    from pyspark.sql import functions as F
+
+    from .operators.feedback import feedback_term_stats
+    from .operators.index import build_index
+    from .operators.retrieval import search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = build_index(docs, analyzer="simple", cache=False)
+    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
+    run = search(idx, qdf, model="lmdir", k=100, rank_round=4)
+    wts = feedback_term_stats(idx, run, num_top_docs=20)
+    return wts.select(
+        "qid", "term", F.round("wt", 6).alias("wt")
+    ).orderBy("qid", F.desc("wt"), "term")
+
+
 def _fdbk_rlm_driver_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6 contract (``feedback.rlm_rerank``, reference
     ``retrieval/KNNRelModel.java:610-620``): the REAL driver function —
@@ -4122,6 +4199,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["fdbk_term_stats"] = _fdbk_term_stats_query
     out["doc_offsets"] = _doc_offsets_query
     out["trec_roundtrip"] = _trec_roundtrip_query
+    out["sparse_vec_bm25"] = _sparse_vec_bm25_query
+    out["fdbk_print_terms"] = _fdbk_print_terms_query
     return out
 
 
@@ -4200,4 +4279,8 @@ def duckdb_oracles() -> dict[str, str]:
     out["doc_offsets"] = build_sql("doc_offsets", "duckdb")
     # the S9 TREC sink + S6 reader round-trip vs the ranked rows
     out["trec_roundtrip"] = build_sql("trec_roundtrip", "duckdb")
+    # the S10 sparse-vector sink (its own k1=1.2 b=0.75 defaults)
+    out["sparse_vec_bm25"] = build_sql("sparse_vec_bm25", "duckdb")
+    # the F13 feedback-term printer (RM-conditional weights, raw sims)
+    out["fdbk_print_terms"] = build_sql("fdbk_print_terms", "duckdb")
     return out
