@@ -99,6 +99,130 @@ class EngineConfig:
 
 DEFAULT = EngineConfig()
 
+
+# ---------------------------------------------------------------------------
+# H4 — settings loader (``experiments/SettingsLoader.java:29-81``): the
+# reference drives every experiment from a java.util.Properties file
+# (init.properties). ``parse_properties`` reproduces Properties.load's
+# documented line format (a public Java SE spec): '#'/'!' comments,
+# '='/':'/ whitespace key terminators, backslash line continuation,
+# \t \n \r \f \\ and \\uXXXX escapes. ``Settings`` resolves the keys
+# SettingsLoader reads, with its defaults (retrieve.num_wanted -> 1000,
+# qsim.numintervals -> 5; qpp.numtopdocs has NO default there — the
+# reference NPEs when absent, we surface None).
+# ---------------------------------------------------------------------------
+
+_PROP_ESCAPES = {"t": "\t", "n": "\n", "r": "\r", "f": "\f"}
+
+
+def _prop_unescape(s: str) -> str:
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            nxt = s[i + 1]
+            if nxt == "u" and i + 6 <= n:
+                out.append(chr(int(s[i + 2:i + 6], 16)))
+                i += 6
+                continue
+            out.append(_PROP_ESCAPES.get(nxt, nxt))
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _odd_trailing_backslashes(line: str) -> bool:
+    k = 0
+    while k < len(line) and line[-1 - k] == "\\":
+        k += 1
+    return k % 2 == 1
+
+
+def parse_properties(text: str) -> dict[str, str]:
+    """java.util.Properties ``load`` line format -> {key: value}.
+    Later duplicate keys overwrite earlier ones (Hashtable.put)."""
+    props: dict[str, str] = {}
+    lines = text.split("\n")
+    i = 0
+    while i < len(lines):
+        line = lines[i].rstrip("\r").lstrip(" \t\f")
+        i += 1
+        if not line or line[0] in "#!":
+            continue
+        while _odd_trailing_backslashes(line) and i < len(lines):
+            line = line[:-1] + lines[i].rstrip("\r").lstrip(" \t\f")
+            i += 1
+        if _odd_trailing_backslashes(line):  # EOF continuation: drop it
+            line = line[:-1]
+        # key: up to the first unescaped '=', ':' or whitespace
+        j, n = 0, len(line)
+        while j < n:
+            c = line[j]
+            if c == "\\":
+                j += 2
+                continue
+            if c in "=:" or c in " \t\f":
+                break
+            j += 1
+        key = _prop_unescape(line[:j])
+        rest = line[j:]
+        k = 0
+        while k < len(rest) and rest[k] in " \t\f":
+            k += 1
+        if k < len(rest) and rest[k] in "=:":
+            k += 1
+            while k < len(rest) and rest[k] in " \t\f":
+                k += 1
+        props[key] = _prop_unescape(rest[k:])
+    return props
+
+
+@dataclass(frozen=True)
+class Settings:
+    """Resolved experiment settings (the SettingsLoader surface)."""
+
+    props: dict[str, str]
+    index_dir: str | None       # index.dir (the searcher's directory)
+    num_wanted: int             # retrieve.num_wanted, default 1000
+    qpp_top_k: int | None       # qpp.numtopdocs (no reference default)
+    qpp_metric: str | None      # qpp.metric -> correlation-metric map
+    qpp_method: str | None      # qpp.method -> QPP-method map
+    qsim_intervals: int         # qsim.numintervals, default 5
+
+    @classmethod
+    def from_text(cls, text: str) -> "Settings":
+        p = parse_properties(text)
+        top = p.get("qpp.numtopdocs")
+        return cls(
+            props=p,
+            index_dir=p.get("index.dir"),
+            num_wanted=int(p.get("retrieve.num_wanted", "1000")),
+            qpp_top_k=int(top) if top is not None else None,
+            qpp_metric=p.get("qpp.metric"),
+            qpp_method=p.get("qpp.method"),
+            qsim_intervals=int(p.get("qsim.numintervals", "5")),
+        )
+
+    def get(self, key: str, default: str | None = None) -> str | None:
+        return self.props.get(key, default)
+
+    def engine_config(self, base: EngineConfig = DEFAULT) -> EngineConfig:
+        """The searcher-side settings applied onto an EngineConfig."""
+        from dataclasses import replace
+
+        return replace(base, num_wanted=self.num_wanted)
+
+
+def load_settings(path: str) -> Settings:
+    """H4 — read an init.properties file into a ``Settings``."""
+    # SettingsLoader passes a FileReader (platform charset, utf-8 on any
+    # modern JVM) rather than the latin-1 InputStream overload.
+    with open(path, encoding="utf-8") as f:
+        return Settings.from_text(f.read())
+
 # Default scale-factor directory for local runs (driver contract).
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

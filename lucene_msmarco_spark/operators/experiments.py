@@ -35,6 +35,72 @@ from .qpp import composite_qid, cumulative_nqc, nqc, query_idf_stats
 from .retrieval import compile_queries, search
 
 
+def correlation_metric(
+    name: str, n_intervals: int = 5
+) -> Callable[[np.ndarray, np.ndarray], float]:
+    """H4 — SettingsLoader's correlation-metric map
+    (``experiments/SettingsLoader.java:33-40``): qpp.metric key ->
+    callable. ``n_intervals`` feeds the two quantized metrics
+    (qsim.numintervals)."""
+    from .correlation import (
+        pairwise_accuracy,
+        quantized_sim,
+        quantized_strict_match,
+    )
+
+    table: dict[str, Callable[[np.ndarray, np.ndarray], float]] = {
+        "r": pearson_r,
+        "rho": spearman_rho,
+        "tau": kendall_tau,
+        "pairacc": pairwise_accuracy,
+        "qsim": lambda gt, pred: quantized_sim(gt, pred, n_intervals),
+        "qsim_strict": lambda gt, pred: quantized_strict_match(
+            gt, pred, n_intervals
+        ),
+    }
+    if name not in table:
+        raise KeyError(
+            f"unknown qpp.metric {name!r}; known: {sorted(table)}"
+        )
+    return table[name]
+
+
+QPP_METHODS = ("avgidf", "nqc", "uef_nqc")
+
+
+def qpp_estimates(
+    name: str,
+    index: InvertedIndex,
+    run: DataFrame,
+    query_terms: DataFrame,
+    top_k: int = 50,
+    cfg: EngineConfig = EngineConfig(),
+) -> DataFrame:
+    """H4 — SettingsLoader's QPP-method map
+    (``experiments/SettingsLoader.java:42-46``): qpp.method key ->
+    (qid, est). ``top_k`` is SettingsLoader's qppTopK (qpp.numtopdocs),
+    the NQC cut; ``query_terms``: (qid, term[, qtf])."""
+    stats = query_idf_stats(
+        query_terms, index.term_stats, index.stats.n_docs
+    )
+    if name == "avgidf":
+        return stats.select("qid", F.col("avgidf").alias("est"))
+    if name == "nqc":
+        return nqc(run, stats, k=top_k).select(
+            "qid", F.col("nqc").alias("est")
+        )
+    if name == "uef_nqc":
+        from .qpp import uef
+
+        base = nqc(run, stats, k=top_k)
+        return uef(index, run, base, "nqc", cfg=cfg).select(
+            "qid", F.col("uef").alias("est")
+        )
+    raise KeyError(
+        f"unknown qpp.method {name!r}; known: {sorted(QPP_METHODS)}"
+    )
+
+
 def _aligned_vectors(
     metric_df: DataFrame, est_df: DataFrame, metric_col: str, est_col: str
 ) -> tuple[np.ndarray, np.ndarray, list[str]]:

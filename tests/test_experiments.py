@@ -137,3 +137,126 @@ def test_composite_qid_rejects_hash(spark):
     ).select(composite_qid().alias("k"))
     with pytest.raises(Exception, match="reserved delimiter"):
         df.collect()
+
+
+# ---------------------------------------------------------------------------
+# H4 — settings loader (experiments/SettingsLoader.java:29-81)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_properties_line_format():
+    from lucene_msmarco_spark.config import parse_properties
+
+    text = (
+        "# comment\n"
+        "! also a comment\n"
+        "   \n"
+        "a=1\n"
+        "b : two\n"
+        "c three\n"          # whitespace separator
+        "d=trailing \\\n"    # line continuation
+        "   joined\n"
+        "e\\=x=has escaped eq\n"
+        "f=tab\\there\\n\\u0041\n"
+        "dup=first\n"
+        "dup=second\n"
+        "empty=\n"
+        "keyonly\n"
+    )
+    p = parse_properties(text)
+    assert p["a"] == "1"
+    assert p["b"] == "two"
+    assert p["c"] == "three"
+    assert p["d"] == "trailing joined"
+    assert p["e=x"] == "has escaped eq"
+    assert p["f"] == "tab\there\nA"
+    assert p["dup"] == "second"       # Hashtable.put: last wins
+    assert p["empty"] == ""
+    assert p["keyonly"] == ""
+    assert "# comment" not in p
+
+
+def test_parse_properties_even_backslashes_not_continuation():
+    from lucene_msmarco_spark.config import parse_properties
+
+    # "\\\\" = escaped backslash, NOT a continuation
+    p = parse_properties("a=x\\\\\nb=y")
+    assert p["a"] == "x\\" and p["b"] == "y"
+    # odd trailing backslash at EOF: dropped
+    assert parse_properties("a=x\\")["a"] == "x"
+
+
+def test_settings_defaults_and_resolution(tmp_path):
+    from lucene_msmarco_spark.config import Settings, load_settings
+
+    s = Settings.from_text(
+        "index.dir=/idx\nqpp.numtopdocs=50\nqpp.metric=tau\n"
+        "qpp.method=nqc\n"
+    )
+    assert s.index_dir == "/idx"
+    assert s.num_wanted == 1000      # retrieve.num_wanted default
+    assert s.qsim_intervals == 5     # qsim.numintervals default
+    assert s.qpp_top_k == 50 and s.qpp_metric == "tau"
+    assert s.get("missing", "dflt") == "dflt"
+    # no qpp.numtopdocs -> None (the reference NPEs; we surface None)
+    assert Settings.from_text("index.dir=/idx").qpp_top_k is None
+
+    f = tmp_path / "init.properties"
+    f.write_text("retrieve.num_wanted=25\nqpp.numtopdocs=10\n")
+    s2 = load_settings(str(f))
+    assert s2.num_wanted == 25
+    assert s2.engine_config().num_wanted == 25
+
+
+def test_correlation_metric_map():
+    from lucene_msmarco_spark.operators.experiments import (
+        correlation_metric,
+    )
+    from lucene_msmarco_spark.operators.correlation import (
+        pairwise_accuracy, quantized_sim,
+    )
+
+    gt = np.array([0.1, 0.4, 0.2, 0.9])
+    pred = np.array([1.0, 3.0, 2.0, 4.0])
+    assert correlation_metric("tau")(gt, pred) == pytest.approx(
+        kendall_tau(gt, pred))
+    assert correlation_metric("pairacc")(gt, pred) == pytest.approx(
+        pairwise_accuracy(gt, pred))
+    # qsim binds n_intervals (qsim.numintervals)
+    assert correlation_metric("qsim", 3)(gt, pred) == pytest.approx(
+        quantized_sim(gt, pred, 3))
+    with pytest.raises(KeyError):
+        correlation_metric("nope")
+
+
+def test_qpp_estimates_dispatch(ctx):
+    from lucene_msmarco_spark.operators.experiments import qpp_estimates
+    from lucene_msmarco_spark.operators.qpp import (
+        nqc, query_idf_stats,
+    )
+    from lucene_msmarco_spark.operators.retrieval import compile_queries
+
+    idx, qdf, _ = ctx
+    qterms = compile_queries(qdf).cache()
+    run = search(idx, qdf, model="bm25", k=50,
+                 precompiled_terms=qterms).cache()
+
+    stats = query_idf_stats(qterms, idx.term_stats, idx.stats.n_docs)
+    want_avgidf = {r.qid: r.avgidf for r in stats.collect()}
+    got = {r.qid: r.est
+           for r in qpp_estimates("avgidf", idx, run, qterms).collect()}
+    assert got == pytest.approx(want_avgidf)
+
+    want_nqc = {r.qid: r.nqc for r in nqc(run, stats, k=20).collect()}
+    got = {r.qid: r.est
+           for r in qpp_estimates("nqc", idx, run, qterms,
+                                  top_k=20).collect()}
+    assert got == pytest.approx(want_nqc)
+
+    out = qpp_estimates("uef_nqc", idx, run, qterms, top_k=20)
+    assert out.columns == ["qid", "est"]
+    vals = {r.qid: r.est for r in out.collect()}
+    assert len(vals) == 4 and all(np.isfinite(v) for v in vals.values())
+
+    with pytest.raises(KeyError):
+        qpp_estimates("nope", idx, run, qterms)
