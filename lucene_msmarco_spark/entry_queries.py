@@ -38,7 +38,10 @@ qpp_lambda_grid(H2), qpp_variant_spec(P7/C10), qpp_preretrieved
 stoch_swap_perms(H5), srlm_rerank(F8/F9), srlm_knn_rerank(Q10/F10),
 srlm_knn_pseudo(F12), bm25_boosted_topk(Q2), analyzed_export(T3),
 bpe_encode(T4), fdbk_term_stats(F1/X5), doc_offsets(X7),
-trec_roundtrip(S9/S6), bmw_topk, incremental_topk.
+trec_roundtrip(S9/S6), collection_roundtrip(S1),
+jsonl_roundtrip(S2/S3), qrels_firstwins(S5), variants_roundtrip(S7),
+model_roundtrip(S8), fewshot_roundtrip(S12), perm_map(S13),
+bmw_topk, incremental_topk.
 """
 
 from __future__ import annotations
@@ -1831,6 +1834,127 @@ FROM tv GROUP BY qid, term ORDER BY qid, term"""
             f"\nSELECT qid, {D['STR']('doc_id')} AS doc_id, rank, score "
             "FROM ranked WHERE rank <= 10 ORDER BY qid, rank"
         )
+    if name == "collection_roundtrip":
+        # S1 TSV sink+scan round-trip (indexing/MsMarcoIndexer.java:
+        # 67-90 collection format): doc_id \t text written as text lines
+        # and parsed back by readers.read_collection_tsv must equal the
+        # source rows. TSV-hostile chars ([\t\n\r"]) are blanked on both
+        # sides so the line format is an identity (the fixtures contain
+        # none; the replace documents the contract).
+        if d == "spark":
+            clean = "regexp_replace(text, '[\\t\\n\\r\"]', ' ')"
+        else:
+            clean = "regexp_replace(text, '[\\t\\n\\r\"]', ' ', 'g')"
+        return (
+            f"SELECT {D['STR']('doc_id')} AS doc_id, {clean} AS text "
+            "FROM documents WHERE length(text) > 0 ORDER BY doc_id"
+        )
+    if name == "jsonl_roundtrip":
+        # S2+S3 JSONL round-trip (indexing/JSONDataIndexer.java:19-45 +
+        # MsMarcoV2JsonToTsvConverter.java:13-48): {id,title,plain}
+        # gzip JSONL written into a NESTED dir, recursively scanned back
+        # by readers.read_jsonl_collection -> text = title || ' ' ||
+        # plain with [\n\t] blanked (the S3 strip).
+        sid = D["STR"]("doc_id")
+        if d == "spark":
+            strip = "regexp_replace(text, '[\\n\\t]', ' ')"
+        else:
+            strip = "regexp_replace(text, '[\\n\\t]', ' ', 'g')"
+        return (
+            f"SELECT {sid} AS doc_id, "
+            f"'D' || {sid} || ' ' || {strip} AS text "
+            "FROM documents ORDER BY doc_id"
+        )
+    if name == "qrels_firstwins":
+        # S5 qrels loader quirks (qrels/AllRelRcds.java:37-63 +
+        # PerQueryRelDocs.java:20-26): rel>0 only, FIRST line wins per
+        # (qid, doc). The written file carries two lines per doc in
+        # order: rel = doc_id % 4 (0..3) then rel = 1 — so the parsed
+        # rel must be doc_id % 4 when > 0 (first wins over the later 1)
+        # and 1 otherwise (the rel-0 first line is dropped).
+        return (
+            f"SELECT 'q' || {D['STR']('doc_id % 3 + 1')} AS qid, "
+            f"{D['STR']('doc_id')} AS doc_id, "
+            "CAST(CASE WHEN doc_id % 4 > 0 THEN doc_id % 4 ELSE 1 END "
+            "AS INT) AS rel "
+            "FROM documents ORDER BY qid, doc_id"
+        )
+    if name == "variants_roundtrip":
+        # S7 variants TSV round-trip (retrieval/KNNRelModel.java:
+        # 141-177): qid \t qtext \t v1 \t v2 lines parsed back by
+        # readers.read_variants_tsv (posexplode from col 3, 0-based
+        # variant_idx, empty variants dropped). Variants are fixed-width
+        # slices of the doc text so short docs exercise the '' filter.
+        sub = "substring" if d == "spark" else "substr"
+        return f"""
+WITH v AS (
+  SELECT 'v' || {D['STR']('doc_id')} AS qid,
+         {sub}(text, 1, 20) AS qtext,
+         {sub}(text, 21, 20) AS v1,
+         {sub}(text, 41, 20) AS v2
+  FROM documents
+)
+SELECT qid, qtext, CAST(0 AS INT) AS variant_idx, v1 AS vtext
+FROM v WHERE v1 != ''
+UNION ALL
+SELECT qid, qtext, CAST(1 AS INT) AS variant_idx, v2 AS vtext
+FROM v WHERE v2 != ''
+ORDER BY qid, variant_idx"""
+    if name == "fewshot_roundtrip":
+        # S12 few-shot JSON sink round-trip (retrieval/KNNRelModel.java:
+        # 197-295): the per-query JSON docs (query text + rel/nonrel
+        # retrieved ids with ranks, rel from the synthetic (doc_id +
+        # qnum) % 5 qrels) written as text and PARSED BACK with a JSON
+        # reader must explode to the ranked rows they encode.
+        qn = ("CAST(substring(qid, 2, 10) AS INT)" if d == "spark"
+              else "CAST(substr(qid, 2) AS INT)")
+        return base + f""",
+rels AS (
+  SELECT qid, doc_id, rank,
+         CASE WHEN (doc_id + {qn}) % 5 = 0 THEN 1 ELSE 0 END AS rel
+  FROM ranked WHERE rank <= 10
+)
+SELECT r.qid, q.qtext,
+       CASE WHEN r.rel > 0 THEN 'rel' ELSE 'nonrel' END AS kind,
+       r.rank, {D['STR']('r.doc_id')} AS doc_id,
+       CAST(r.rel AS INT) AS rel
+FROM rels r JOIN queries q ON r.qid = q.qid
+ORDER BY r.qid, r.rank"""
+    if name == "perm_map":
+        # S13 permutation-map sink (qpp/PreComputedPredictor.java:
+        # 67-99): per-qid ``qid \t pre>post,...`` lines — for each doc
+        # of the BM25 top-10 also present in the LM-Dirichlet top-10,
+        # the rank it moved to, comma-joined in pre-rank order.
+        if d == "spark":
+            agg = ("array_join(transform(array_sort("
+                   "collect_list(struct(pre_rank, pair))), "
+                   "x -> x.pair), ',')")
+        else:
+            agg = "string_agg(pair, ',' ORDER BY pre_rank)"
+        return base + f""",
+scored2 AS (
+  SELECT qid, doc_id, SUM(qtf * ({LMDIR})) AS score
+  FROM hits CROSS JOIN g GROUP BY qid, doc_id
+),
+ranked2 AS (
+  SELECT qid, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY round(score, 4) DESC, doc_id ASC
+         ) AS INT) AS rank
+  FROM scored2
+),
+pre AS (SELECT qid, doc_id, rank AS pre_rank FROM ranked WHERE rank <= 10),
+post AS (
+  SELECT qid, doc_id, rank AS post_rank FROM ranked2 WHERE rank <= 10
+),
+pairs AS (
+  SELECT p.qid, p.pre_rank,
+         {D['STR']('p.pre_rank')} || '>' || {D['STR']('o.post_rank')}
+           AS pair
+  FROM pre p JOIN post o ON p.qid = o.qid AND p.doc_id = o.doc_id
+)
+SELECT qid, qid || chr(9) || {agg} AS line
+FROM pairs GROUP BY qid ORDER BY qid"""
     if name == "qpp_preretrieved":
         # H8 (QPP on a pre-retrieved run) chaining Q8 induce_scores +
         # E8 rerank_by_score + P1 NQC + P9 precomputed lookup: the
@@ -3939,6 +4063,256 @@ def _trec_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _materialize_then_rm(spark: SparkSession, df: DataFrame, tmp: str):
+    """Collect ``df`` (which lazily reads files under ``tmp``) before the
+    scratch dir is deleted, then rebuild a local DataFrame."""
+    import shutil
+
+    try:
+        rows = df.collect()
+        return spark.createDataFrame(rows, df.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _collection_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 contract (``readers.read_collection_tsv``; reference
+    ``indexing/MsMarcoIndexer.java:67-90``): the documents table written
+    as ``doc_id \\t text`` lines and scanned back through the TSV reader
+    must equal the source rows. TSV-hostile chars are blanked on both
+    sides (identity on these fixtures)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .sources.readers import read_collection_tsv
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.length("text") > 0)
+    )
+    lines = docs.select(
+        F.format_string(
+            "%s\t%s",
+            F.col("doc_id").cast("string"),
+            F.regexp_replace("text", r'[\t\n\r"]', " "),
+        ).alias("value")
+    )
+    tmp = tempfile.mkdtemp(prefix="lms_coll_contract_")
+    lines.coalesce(1).write.mode("overwrite").text(f"{tmp}/coll")
+    back = read_collection_tsv(spark, f"{tmp}/coll")
+    return _materialize_then_rm(spark, back, tmp)
+
+
+def _jsonl_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+S3 contract (``readers.read_jsonl_collection``; reference
+    ``indexing/JSONDataIndexer.java:19-45`` + recursive gzip walk
+    ``indexing/MsMarcoV2JsonToTsvConverter.java:13-48``): {id, title,
+    plain} written as gzip JSONL into a NESTED directory and scanned
+    back recursively -> (doc_id, title + ' ' + plain with [\\n\\t]
+    blanked)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .sources.readers import read_jsonl_collection
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    sid = F.col("doc_id").cast("string")
+    lines = docs.select(
+        F.to_json(
+            F.struct(
+                sid.alias("id"),
+                F.concat(F.lit("D"), sid).alias("title"),
+                F.col("text").alias("plain"),
+            )
+        ).alias("value")
+    )
+    tmp = tempfile.mkdtemp(prefix="lms_jsonl_contract_")
+    (
+        lines.coalesce(1)
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .text(f"{tmp}/outer/inner")
+    )
+    back = read_jsonl_collection(spark, f"{tmp}/outer", recursive=True)
+    return _materialize_then_rm(spark, back, tmp)
+
+
+def _qrels_firstwins_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 contract (``readers.read_qrels``; reference
+    ``qrels/AllRelRcds.java:37-63``, ``qrels/PerQueryRelDocs.java:
+    20-26``): a qrels file carrying TWO lines per (qid, doc) in order —
+    rel = doc_id % 4 (0..3) then rel = 1 — parsed under the rel>0 +
+    first-write-wins quirks. The file is written as ONE sorted text
+    partition so line order (which the quirk depends on) is exact."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .sources.readers import read_qrels
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    l1 = docs.select(
+        "doc_id",
+        F.lit(0).alias("seq"),
+        (F.col("doc_id") % 4).alias("rel"),
+    )
+    l2 = docs.select("doc_id", F.lit(1).alias("seq"), F.lit(1).alias("rel"))
+    lines = (
+        l1.unionByName(l2)
+        .select(
+            "doc_id",
+            "seq",
+            F.format_string(
+                "q%d 0 %d %d",
+                F.col("doc_id") % 3 + 1,
+                F.col("doc_id"),
+                F.col("rel"),
+            ).alias("value"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id", "seq")
+        .select("value")
+    )
+    tmp = tempfile.mkdtemp(prefix="lms_qrels_contract_")
+    lines.write.mode("overwrite").text(f"{tmp}/qrels")
+    back = read_qrels(spark, f"{tmp}/qrels")
+    return _materialize_then_rm(spark, back, tmp)
+
+
+def _variants_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 contract (``readers.read_variants_tsv``; reference
+    ``retrieval/KNNRelModel.java:141-177``): ``qid \\t qtext \\t v1 \\t
+    v2`` lines (fixed-width slices of the doc text, so short docs leave
+    empty variants) parsed back with 0-based variant_idx and '' variants
+    dropped."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .sources.readers import read_variants_tsv
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    lines = docs.select(
+        F.concat_ws(
+            "\t",
+            F.concat(F.lit("v"), F.col("doc_id").cast("string")),
+            F.substring("text", 1, 20),
+            F.substring("text", 21, 20),
+            F.substring("text", 41, 20),
+        ).alias("value")
+    )
+    tmp = tempfile.mkdtemp(prefix="lms_variants_contract_")
+    lines.coalesce(1).write.mode("overwrite").text(f"{tmp}/variants")
+    back = read_variants_tsv(spark, f"{tmp}/variants")
+    return _materialize_then_rm(spark, back, tmp)
+
+
+def _model_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 contract (``writers.save_term_distribution`` /
+    ``load_term_distribution``; reference ``retrieval/SupervisedRLM.java:
+    202-238`` model persistence): the RM1/RLM expanded-query table
+    persisted to parquet and loaded back must still equal the
+    ``fdbk_rm1_expand`` oracle — the save/load pair is lossless."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .sources.writers import load_term_distribution, save_term_distribution
+
+    expanded = _fdbk_rm1_expand_query(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="lms_model_contract_")
+    save_term_distribution(expanded, f"{tmp}/model")
+    back = load_term_distribution(spark, f"{tmp}/model").select(
+        "qid", "term", "qtf", F.round("weight", 6).alias("weight")
+    )
+    return _materialize_then_rm(spark, back, tmp)
+
+
+def _fewshot_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 contract (``writers.fewshot_json``; reference
+    ``retrieval/KNNRelModel.java:197-295``): the per-query few-shot JSON
+    docs (BM25 top-10 split into rel/nonrel under the synthetic
+    (doc_id + qnum) % 5 qrels) written as text, parsed back with a JSON
+    reader and exploded must equal the ranked rows they encode."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .operators.index import build_index
+    from .operators.postings import CompactIndex, bmw_search
+    from .operators.retrieval import compile_queries
+    from .sources.writers import fewshot_json
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = build_index(docs, analyzer="simple", cache=False)
+    compact = CompactIndex.from_index(idx, n_segments=4)
+    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
+    qt = compile_queries(qdf, "simple")
+    run = bmw_search(compact, qt, k=10, rank_round=4).select(
+        "qid", "doc_id", F.col("rank").cast("int").alias("rank")
+    )
+    qnum = F.substring("qid", 2, 10).cast("int")
+    qrels = (
+        run.select("qid", "doc_id")
+        .withColumn(
+            "rel",
+            F.when(((F.col("doc_id") + qnum) % 5) == 0, 1).otherwise(0),
+        )
+        .filter(F.col("rel") > 0)
+    )
+    fs = fewshot_json(run, qrels, qdf)
+    tmp = tempfile.mkdtemp(prefix="lms_fewshot_contract_")
+    fs.select("json").coalesce(1).write.mode("overwrite").text(f"{tmp}/fs")
+    parsed = spark.read.json(f"{tmp}/fs")
+
+    def _explode(col: str, kind: str) -> DataFrame:
+        return parsed.select(
+            "qid",
+            "qtext",
+            F.lit(kind).alias("kind"),
+            F.explode(col).alias("d"),
+        ).select(
+            "qid",
+            "qtext",
+            "kind",
+            F.col("d.rank").cast("int").alias("rank"),
+            F.col("d.doc_id").cast("string").alias("doc_id"),
+            F.col("d.rel").cast("int").alias("rel"),
+        )
+
+    back = _explode("rel_docs", "rel").unionByName(
+        _explode("nonrel_docs", "nonrel")
+    )
+    return _materialize_then_rm(spark, back, tmp)
+
+
+def _perm_map_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 contract (``writers.permutation_map``; reference
+    ``qpp/PreComputedPredictor.java:67-99``): the real sink operator
+    over the BM25 top-10 (pre) and LM-Dirichlet top-10 (post) runs must
+    produce the ``qid \\t pre>post,...`` lines of the SQL twin in
+    ``build_sql("perm_map")``."""
+    from .sources.writers import permutation_map
+
+    _register_views(spark, sf_dir)
+    pre = spark.sql(build_sql("bm25_topk", "spark")).select(
+        "qid", "doc_id", "rank"
+    )
+    post = spark.sql(build_sql("lmdir_topk", "spark")).select(
+        "qid", "doc_id", "rank"
+    )
+    return permutation_map(pre, post).select("qid", "line").orderBy("qid")
+
+
 def _qpp_preretrieved_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H8 contract: the real chain over a pre-retrieved run —
     ``retrieval.induce_scores`` (Q8, LM-JM), ``eval.rerank_by_score``
@@ -4201,6 +4575,13 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["trec_roundtrip"] = _trec_roundtrip_query
     out["sparse_vec_bm25"] = _sparse_vec_bm25_query
     out["fdbk_print_terms"] = _fdbk_print_terms_query
+    out["collection_roundtrip"] = _collection_roundtrip_query
+    out["jsonl_roundtrip"] = _jsonl_roundtrip_query
+    out["qrels_firstwins"] = _qrels_firstwins_query
+    out["variants_roundtrip"] = _variants_roundtrip_query
+    out["model_roundtrip"] = _model_roundtrip_query
+    out["fewshot_roundtrip"] = _fewshot_roundtrip_query
+    out["perm_map"] = _perm_map_query
     return out
 
 
@@ -4283,4 +4664,16 @@ def duckdb_oracles() -> dict[str, str]:
     out["sparse_vec_bm25"] = build_sql("sparse_vec_bm25", "duckdb")
     # the F13 feedback-term printer (RM-conditional weights, raw sims)
     out["fdbk_print_terms"] = build_sql("fdbk_print_terms", "duckdb")
+    # the S1/S2+S3/S5/S7 loader round-trips (TSV, recursive gzip JSONL,
+    # qrels rel>0 + first-wins, variants posexplode)
+    out["collection_roundtrip"] = build_sql("collection_roundtrip", "duckdb")
+    out["jsonl_roundtrip"] = build_sql("jsonl_roundtrip", "duckdb")
+    out["qrels_firstwins"] = build_sql("qrels_firstwins", "duckdb")
+    out["variants_roundtrip"] = build_sql("variants_roundtrip", "duckdb")
+    # the S8 model save/load pair must be lossless around the RM1 oracle
+    out["model_roundtrip"] = build_sql("fdbk_rm1_expand", "duckdb")
+    # the S12 few-shot JSON sink parsed back and exploded
+    out["fewshot_roundtrip"] = build_sql("fewshot_roundtrip", "duckdb")
+    # the S13 permutation-map sink vs the dual-ranked string twin
+    out["perm_map"] = build_sql("perm_map", "duckdb")
     return out
