@@ -38,7 +38,7 @@ qpp_lambda_grid(H2), qpp_variant_spec(P7/C10), qpp_preretrieved
 stoch_swap_perms(H5), srlm_rerank(F8/F9), srlm_knn_rerank(Q10/F10),
 srlm_knn_pseudo(F12), bm25_boosted_topk(Q2), analyzed_export(T3),
 bpe_encode(T4), fdbk_term_stats(F1/X5), doc_offsets(X7),
-trec_roundtrip(S9/S6), collection_roundtrip(S1),
+trec_roundtrip(S9/S6), collection_roundtrip(S1), queries_roundtrip(S4),
 jsonl_roundtrip(S2/S3), qrels_firstwins(S5), variants_roundtrip(S7),
 model_roundtrip(S8), fewshot_roundtrip(S12), perm_map(S13),
 bmw_topk, incremental_topk.
@@ -1864,6 +1864,14 @@ FROM tv GROUP BY qid, term ORDER BY qid, term"""
             f"SELECT {sid} AS doc_id, "
             f"'D' || {sid} || ' ' || {strip} AS text "
             "FROM documents ORDER BY doc_id"
+        )
+    if name == "queries_roundtrip":
+        # S4 query-TSV loader (retrieval/QueryLoader.java:25-51): the
+        # QUERYSET written as ``qid \t qtext`` lines and parsed back by
+        # readers.read_queries_tsv must equal the literal set.
+        return (
+            f"WITH {_queries_cte()} "
+            "SELECT qid, qtext FROM queries ORDER BY qid"
         )
     if name == "qrels_firstwins":
         # S5 qrels loader quirks (qrels/AllRelRcds.java:37-63 +
@@ -4142,6 +4150,27 @@ def _jsonl_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize_then_rm(spark, back, tmp)
 
 
+def _queries_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 contract (``readers.read_queries_tsv``; reference
+    ``retrieval/QueryLoader.java:25-51``): the QUERYSET written as
+    ``qid \\t qtext`` lines and parsed back through the TSV query loader
+    must equal the literal set."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .sources.readers import read_queries_tsv
+
+    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
+    lines = qdf.select(
+        F.format_string("%s\t%s", F.col("qid"), F.col("qtext")).alias("value")
+    )
+    tmp = tempfile.mkdtemp(prefix="lms_queries_contract_")
+    lines.coalesce(1).write.mode("overwrite").text(f"{tmp}/queries")
+    back = read_queries_tsv(spark, f"{tmp}/queries")
+    return _materialize_then_rm(spark, back, tmp)
+
+
 def _qrels_firstwins_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 contract (``readers.read_qrels``; reference
     ``qrels/AllRelRcds.java:37-63``, ``qrels/PerQueryRelDocs.java:
@@ -4576,6 +4605,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["sparse_vec_bm25"] = _sparse_vec_bm25_query
     out["fdbk_print_terms"] = _fdbk_print_terms_query
     out["collection_roundtrip"] = _collection_roundtrip_query
+    out["queries_roundtrip"] = _queries_roundtrip_query
     out["jsonl_roundtrip"] = _jsonl_roundtrip_query
     out["qrels_firstwins"] = _qrels_firstwins_query
     out["variants_roundtrip"] = _variants_roundtrip_query
@@ -4667,6 +4697,7 @@ def duckdb_oracles() -> dict[str, str]:
     # the S1/S2+S3/S5/S7 loader round-trips (TSV, recursive gzip JSONL,
     # qrels rel>0 + first-wins, variants posexplode)
     out["collection_roundtrip"] = build_sql("collection_roundtrip", "duckdb")
+    out["queries_roundtrip"] = build_sql("queries_roundtrip", "duckdb")
     out["jsonl_roundtrip"] = build_sql("jsonl_roundtrip", "duckdb")
     out["qrels_firstwins"] = build_sql("qrels_firstwins", "duckdb")
     out["variants_roundtrip"] = build_sql("variants_roundtrip", "duckdb")
