@@ -90,8 +90,15 @@ def read_res(spark: SparkSession, path: str, num_wanted: int | None = None,
     order and score 0 (the reference later induces scores — Q8)."""
     lines = spark.read.text(path)
     if has_header:
-        first = lines.limit(1)
-        lines = lines.subtract(first)
+        # Drop exactly the FIRST line (id 0 = first row of the first
+        # partition, i.e. the head of a single-file res). A set
+        # ``subtract`` would also collapse duplicate data lines and
+        # ``limit(1)`` is not guaranteed to be the head row.
+        lines = (
+            lines.withColumn("_hdr", F.monotonically_increasing_id())
+            .filter(F.col("_hdr") > 0)
+            .drop("_hdr")
+        )
     parts = lines.withColumn("p", F.split(F.trim(F.col("value")), r"\s+"))
     six = F.size(F.col("p")) >= 6
     df = parts.select(

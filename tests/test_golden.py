@@ -48,6 +48,17 @@ def test_engine_reproduces_golden(spark):
         assert round(got["score"], 4) == pytest.approx(score, abs=1e-4)
 
 
+def test_res_reader_header_keeps_duplicate_lines(spark, tmp_path):
+    """has_header drops exactly the first line — duplicate 2-col data
+    lines must survive (a set subtract would collapse them)."""
+    p = tmp_path / "dup.res"
+    p.write_text("qid docid\nq1 d7\nq1 d7\nq1 d3\n")
+    got = read_res(spark, str(p), has_header=True).orderBy("rank").collect()
+    assert [(r["qid"], r["doc_id"], r["rank"]) for r in got] == [
+        ("q1", "d7", 1), ("q1", "d7", 2), ("q1", "d3", 3)
+    ]
+
+
 def test_res_reader_writer_roundtrip(spark, tmp_path):
     golden_df = read_res(spark, GOLDEN)
     assert golden_df.count() == 40
