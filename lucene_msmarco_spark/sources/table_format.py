@@ -1,0 +1,187 @@
+"""Storage-format abstraction for the transcript input and the global
+index artifact (north rule: "over Iceberg tables of multi-turn
+conversation / agent transcripts", "global Iceberg-backed index";
+BASELINE.md "Iceberg note").
+
+Import/classpath-guarded the same way ``operators/multimodal.py`` guards
+its media codecs: when the Spark session's JVM carries the Iceberg
+runtime (``iceberg-spark-runtime`` jar providing
+``org.apache.iceberg.spark.SparkCatalog``), table references read and
+write through the Iceberg format — snapshot isolation, atomic commit,
+hidden partitioning, time travel. In this sandbox (no jar, no network to
+fetch one) the SAME call sites fall back to:
+
+- **reads**: parquet for path refs; the session catalog
+  (``spark.table``) for identifier refs — so tests register temp views
+  and the code path stays identical;
+- **writes**: parquet + a ``_commit.json`` sidecar carrying the
+  snapshot duties an Iceberg commit would (row count, schema, wall
+  time, monotonically increasing commit id) — the same manifest
+  discipline as ``streaming.incremental.SegmentedIndexWriter`` /
+  ``IndexBuildPipeline``, whose JSON manifests already stand in for
+  Iceberg snapshot/lineage/atomic-commit (BASELINE.md "Iceberg note").
+
+Everything above this module only ever sees DataFrames, so the swap is
+invisible to the query paths; a deployment with the jar lights up the
+real format with zero code change (the mechanical swap the baseline
+documents, now an actual branch instead of prose).
+
+Ref syntax: anything containing ``/`` (or starting with a URI scheme
+like ``s3://``) is a PATH; anything else (``db.table``,
+``catalog.db.table``) is a table IDENTIFIER.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the session JVM can load Iceberg's Spark catalog class
+    (i.e. ``iceberg-spark-runtime`` is on the classpath). Cheap
+    reflection probe, no side effects."""
+    try:
+        jvm = spark._jvm  # noqa: SLF001 — public-enough Py4J surface
+        jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def iceberg_catalogs(spark: SparkSession) -> list[str]:
+    """Names of configured Iceberg catalogs
+    (``spark.sql.catalog.<name> = org.apache.iceberg.spark.SparkCatalog``
+    entries). Empty when the runtime or the config is absent."""
+    out = []
+    for k, v in spark.sparkContext.getConf().getAll():
+        if (
+            k.startswith("spark.sql.catalog.")
+            and k.count(".") == 3
+            and "iceberg" in str(v).lower()
+        ):
+            out.append(k.rsplit(".", 1)[1])
+    return sorted(out)
+
+
+def is_path_ref(ref: str) -> bool:
+    """PATH refs contain a '/' or a URI scheme; bare dotted names are
+    table identifiers."""
+    return "/" in ref or "://" in ref or ref.startswith((".", "~"))
+
+
+def read_table(spark: SparkSession, ref: str) -> DataFrame:
+    """Read a table reference through the best available format.
+
+    - path ref -> parquet scan (predicate pushdown / column pruning
+      reach the files exactly as with Iceberg's parquet data files);
+    - identifier ref + Iceberg runtime -> ``spark.read.format("iceberg")``
+      (snapshot-isolated scan of the current snapshot);
+    - identifier ref, no runtime -> session catalog (``spark.table``) —
+      temp views and warehouse tables resolve; anything else raises
+      Spark's usual TABLE_OR_VIEW_NOT_FOUND.
+    """
+    if is_path_ref(ref):
+        return spark.read.parquet(ref)
+    if iceberg_available(spark):
+        return spark.read.format("iceberg").load(ref)
+    return spark.table(ref)
+
+
+def write_table(
+    df: DataFrame, ref: str, mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Write a DataFrame through the best available format; returns the
+    commit record.
+
+    - path ref -> parquet (atomic via the ``_SUCCESS`` marker) + a
+      ``_commit.json`` sidecar with the snapshot duties (commit id,
+      row count, schema, timestamp). ``mode="append"`` appends files
+      and bumps the commit id — the Iceberg append-snapshot analog.
+    - identifier ref + Iceberg runtime -> ``writeTo(ref)`` V2 path:
+      ``createOrReplace()`` for overwrite, ``append()`` for append —
+      real atomic snapshot commits.
+    - identifier ref, no runtime -> raise: silently writing a
+      non-transactional table where the caller asked for an Iceberg
+      identifier would forfeit the atomicity the ref implies.
+    """
+    spark = df.sparkSession
+    if is_path_ref(ref):
+        t0 = time.time()
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(ref)
+        commit_path = os.path.join(ref, "_commit.json")
+        prev_id = -1
+        if os.path.exists(commit_path):
+            try:
+                with open(commit_path) as f:
+                    prev_id = int(json.load(f).get("commit_id", -1))
+            except (json.JSONDecodeError, ValueError):
+                prev_id = -1
+        n = spark.read.parquet(ref).count()
+        entry = {
+            "commit_id": prev_id + 1,
+            "format": "parquet+manifest",
+            "mode": mode,
+            "rows": int(n),
+            "schema": df.schema.simpleString(),
+            "committed_at": time.time(),
+            "wall_s": round(time.time() - t0, 3),
+        }
+        tmp = commit_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+        os.replace(tmp, commit_path)  # atomic on POSIX
+        return entry
+    if iceberg_available(spark):
+        wt = df.writeTo(ref).using("iceberg")
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            wt = wt.partitionedBy(*[F.col(c) for c in partition_by])
+        if mode == "overwrite":
+            wt.createOrReplace()
+        elif mode == "append":
+            wt.append()
+        else:
+            raise ValueError(f"unsupported mode {mode!r} for table refs")
+        return {"format": "iceberg", "table": ref, "mode": mode}
+    raise RuntimeError(
+        f"table identifier {ref!r} requires the Iceberg runtime "
+        "(iceberg-spark-runtime on the classpath); this environment has "
+        "none — write to a path ref for the parquet+manifest fallback"
+    )
+
+
+TRANSCRIPT_COLUMNS = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+def read_transcripts(spark: SparkSession, ref: str) -> DataFrame:
+    """The north-rule input entry point: an Iceberg table (or parquet
+    path) of multi-turn transcripts with columns (conv_id string,
+    turn_idx int, role string, text string, tool string, ts timestamp)
+    — BASELINE.json ``input_hint``. Projects exactly those columns (so
+    the scan prunes to them) with the canonical types."""
+    df = read_table(spark, ref)
+    missing = [c for c in TRANSCRIPT_COLUMNS if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"transcript source {ref!r} lacks columns {missing}; "
+            f"expected {list(TRANSCRIPT_COLUMNS)}"
+        )
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.col("conv_id").cast("string").alias("conv_id"),
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.col("role").cast("string").alias("role"),
+        F.col("text").cast("string").alias("text"),
+        F.col("tool").cast("string").alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
