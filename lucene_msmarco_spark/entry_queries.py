@@ -30,7 +30,9 @@ Operator coverage (SURVEY.md §2 IDs in parens):
   against the ``bm25_topk`` oracle — same rows, different engines.
 
 Operator-backed rows (the Spark side runs the real DataFrame operators,
-not the dialect-rendered SQL): dedup_embedding, qpp_rsd, qpp_uef,
+not the dialect-rendered SQL): dedup_embedding, dedup_components
+(large-star/small-star connected components vs a recursive-CTE
+closure), qpp_rsd, qpp_uef,
 fdbk_kl_rerank, fdbk_rm1_expand, fdbk_rocchio, fdbk_rlm_driver(F6),
 qpp_cumnqc, qpp_eval_corr(H1/C1/C2), qpp_corr_pack(C3-C7),
 qpp_lambda_grid(H2), qpp_variant_spec(P7/C10), qpp_preretrieved
@@ -813,6 +815,42 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id ORDER BY doc_a, doc_b"""
+    if name == "dedup_components":
+        # near-dup GROUPS: connected components (min-id labeling) over
+        # the banded-minhash candidate-pair graph. The oracle closes the
+        # graph with a recursive CTE (min reachable node per node); the
+        # Spark side runs the iterative alternating large-star /
+        # small-star operator (operators/pipeline.connected_components,
+        # Kiveris et al. SoCC'14) — value-level oracle for the star-
+        # contraction loop. Pair construction identical to
+        # dedup_minhash_lsh above.
+        seeds = ", ".join(f"({s})" for s in range(8))
+        str_s = D["STR"]("s")
+        return f"""
+WITH RECURSIVE {_shingle_cte(d)[1:]},
+seeds AS (SELECT s FROM (VALUES {seeds}) AS t(s)),
+sigs AS (
+  SELECT doc_id, s, MIN(md5({str_s} || ':' || sh)) AS mh
+  FROM shingles CROSS JOIN seeds GROUP BY doc_id, s
+),
+bands AS (
+  SELECT doc_id, CAST(floor(s / 2.0) AS INT) AS band,
+         {D['BANDSIG']()} AS band_sig
+  FROM sigs GROUP BY doc_id, CAST(floor(s / 2.0) AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+edges AS (SELECT u, v FROM cand UNION SELECT v AS u, u AS v FROM cand),
+reach AS (
+  SELECT DISTINCT u AS a, u AS b FROM edges
+  UNION
+  SELECT r.a, e.v AS b FROM reach r JOIN edges e ON e.u = r.b
+)
+SELECT a AS doc_id, MIN(b) AS component, (a = MIN(b)) AS is_canonical
+FROM reach GROUP BY a ORDER BY doc_id"""
     if name == "dedup_ngram_jaccard":
         # Jaccard over DISCRIMINATIVE shingles: shingles with df > 50
         # are dropped from the universe before the self-join (they make
@@ -2973,6 +3011,25 @@ def _dedup_embedding_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _dedup_components_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-GROUPS contract: the iterative alternating large-star /
+    small-star connected-components operator
+    (``operators/pipeline.connected_components`` -> ``dedup_groups``,
+    Kiveris et al. SoCC'14) over the banded-minhash candidate pairs
+    (same construction as the ``dedup_minhash_lsh`` row), vs the
+    recursive-CTE min-reachable-node closure in DuckDB. Value-level
+    oracle for the star-contraction loop — the step that turns pair-
+    emitting dedup into keep/drop clusters."""
+    from .operators.pipeline import dedup_groups, minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    pairs = minhash_lsh_pairs(docs, n_hashes=8, rows_per_band=2,
+                              shingle_n=3)
+    return dedup_groups(pairs).orderBy("doc_id")
+
+
 def _qpp_rsd_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded-sampling QPP contract (P6 RSD, ``qpp/RSDSpecificity.java:
     23-51``): run the REAL operator chain — simple-analyzer index ->
@@ -4573,6 +4630,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bmw_topk"] = _bmw_topk_query
     out["incremental_topk"] = _incremental_topk_query
     out["dedup_embedding"] = _dedup_embedding_query
+    out["dedup_components"] = _dedup_components_query
     out["qpp_rsd"] = _qpp_rsd_query
     out["qpp_uef"] = _qpp_uef_query
     out["fdbk_kl_rerank"] = _fdbk_kl_rerank_query
@@ -4623,6 +4681,8 @@ def duckdb_oracles() -> dict[str, str]:
     out["incremental_topk"] = build_sql("bm25_topk", "duckdb")
     # the DataFrame-operator LSH near-dup must equal its inlined-plane twin
     out["dedup_embedding"] = build_sql("dedup_embedding", "duckdb")
+    # the iterative star-contraction components vs a recursive-CTE closure
+    out["dedup_components"] = build_sql("dedup_components", "duckdb")
     # the seeded-sampling QPP operator chain vs its md5-permutation twin
     out["qpp_rsd"] = build_sql("qpp_rsd", "duckdb")
     # the full UEF pipeline (sampling -> RM/KL rerank -> rank distance

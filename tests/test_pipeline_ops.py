@@ -398,3 +398,82 @@ def test_ivf_refresh_noop_without_drift_and_refits_on_drift(
     C3, meta = P.load_ivf_model(spark, path)
     assert np.array_equal(C3, got2)
     assert meta["generation"] >= 2 and "quality" in meta
+
+
+# ---------------------------------------------------------------------------
+# connected components / dedup groups
+# ---------------------------------------------------------------------------
+
+
+def _uf_components(pairs):
+    """Union-find oracle: {node: min-node-of-component}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _cc(spark, pairs):
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = P.connected_components(df).collect()
+    return {r["node"]: r["component"] for r in got}
+
+
+def test_cc_chain_star_and_islands(spark):
+    # a 7-node chain (pathological for diameter-bound label propagation),
+    # a star, two islands and a triangle closing a cycle
+    pairs = (
+        [(i, i + 1) for i in range(10, 16)]          # chain 10..16
+        + [(100, x) for x in (101, 102, 103)]        # star rooted at 100
+        + [(7, 8)]                                   # island pair
+        + [(1, 2), (2, 3), (3, 1)]                   # cycle
+    )
+    assert _cc(spark, pairs) == _uf_components(pairs)
+
+
+def test_cc_randomized_vs_union_find(spark):
+    import random
+
+    rng = random.Random(314159)
+    nodes = list(range(60))
+    pairs = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(90)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    assert _cc(spark, pairs) == _uf_components(pairs)
+
+
+def test_cc_empty_and_string_ids(spark):
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert P.connected_components(empty).count() == 0
+    sdf = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    got = {r["node"]: r["component"]
+           for r in P.connected_components(sdf).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_dedup_groups_canonical_flag(spark):
+    pairs = spark.createDataFrame(
+        [(5, 9), (9, 12), (30, 31)], "doc_a long, doc_b long"
+    )
+    rows = {r["doc_id"]: (r["component"], r["is_canonical"])
+            for r in P.dedup_groups(pairs).collect()}
+    assert rows == {
+        5: (5, True), 9: (5, False), 12: (5, False),
+        30: (30, True), 31: (30, False),
+    }
+    # the kept set is exactly the component roots
+    keep = [d for d, (_, can) in rows.items() if can]
+    assert sorted(keep) == [5, 30]
