@@ -32,7 +32,8 @@ Operator coverage (SURVEY.md §2 IDs in parens):
 Operator-backed rows (the Spark side runs the real DataFrame operators,
 not the dialect-rendered SQL): dedup_embedding, dedup_components
 (large-star/small-star connected components vs a recursive-CTE
-closure), qpp_rsd, qpp_uef,
+closure), hash_split (deterministic content-hash train/val/test
+split), qpp_rsd, qpp_uef,
 fdbk_kl_rerank, fdbk_rm1_expand, fdbk_rocchio, fdbk_rlm_driver(F6),
 qpp_cumnqc, qpp_eval_corr(H1/C1/C2), qpp_corr_pack(C3-C7),
 qpp_lambda_grid(H2), qpp_variant_spec(P7/C10), qpp_preretrieved
@@ -815,6 +816,20 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id ORDER BY doc_a, doc_b"""
+    if name == "hash_split":
+        # deterministic train/val/test assignment by content hash
+        # (operators/pipeline.hash_split): md5 hex compared AS STRING
+        # against cumulative-weight thresholds — reproducible under any
+        # partitioning, identical in any md5-bearing engine. Thresholds
+        # are .9/.95 of 16^8 in hex.
+        b = (f"substring(md5(concat_ws(':', 'split', "
+             f"{D['STR']('doc_id')})), 1, 8)")
+        return f"""
+SELECT doc_id,
+       CASE WHEN {b} < 'e6666666' THEN 'train'
+            WHEN {b} < 'f3333333' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents ORDER BY doc_id"""
     if name == "dedup_components":
         # near-dup GROUPS: connected components (min-id labeling) over
         # the banded-minhash candidate-pair graph. The oracle closes the
@@ -3011,6 +3026,20 @@ def _dedup_embedding_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _hash_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-split contract: the real
+    ``operators/pipeline.hash_split`` (default .9/.05/.05 weights, salt
+    "split") vs the same hex-threshold CASE rendered for DuckDB —
+    value-level pin that the operator's Python-computed cumulative
+    thresholds and the md5-hex string compare agree across engines."""
+    from .operators.pipeline import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    )
+    return hash_split(docs).select("doc_id", "split").orderBy("doc_id")
+
+
 def _dedup_components_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-GROUPS contract: the iterative alternating large-star /
     small-star connected-components operator
@@ -4631,6 +4660,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["incremental_topk"] = _incremental_topk_query
     out["dedup_embedding"] = _dedup_embedding_query
     out["dedup_components"] = _dedup_components_query
+    out["hash_split"] = _hash_split_query
     out["qpp_rsd"] = _qpp_rsd_query
     out["qpp_uef"] = _qpp_uef_query
     out["fdbk_kl_rerank"] = _fdbk_kl_rerank_query
@@ -4683,6 +4713,8 @@ def duckdb_oracles() -> dict[str, str]:
     out["dedup_embedding"] = build_sql("dedup_embedding", "duckdb")
     # the iterative star-contraction components vs a recursive-CTE closure
     out["dedup_components"] = build_sql("dedup_components", "duckdb")
+    # the deterministic content-hash split vs its hex-threshold twin
+    out["hash_split"] = build_sql("hash_split", "duckdb")
     # the seeded-sampling QPP operator chain vs its md5-permutation twin
     out["qpp_rsd"] = build_sql("qpp_rsd", "duckdb")
     # the full UEF pipeline (sampling -> RM/KL rerank -> rank distance

@@ -858,3 +858,51 @@ def rolling_fingerprint(
     return docs.select(
         F.col(id_col).alias("doc_id"), rolled.alias("fingerprint")
     )
+
+
+def hash_split(
+    docs: DataFrame, weights: dict[str, float] | None = None,
+    id_col: str = "doc_id", salt: str = "split", out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content hash — the
+    split every training-data pipeline needs to be REPRODUCIBLE:
+    membership depends only on ``(salt, id)``, never on partitioning,
+    row order, sampling order, or cluster size (``randomSplit`` gives
+    none of those guarantees — its assignment changes with the
+    partition layout). A doc keeps its split across reruns, incremental
+    appends, and engine versions; changing ``salt`` draws a fresh
+    independent split.
+
+    Mechanism: ``md5(salt || ':' || id)`` is uniform over hex strings,
+    so the first 8 hex chars COMPARED AS STRINGS are a uniform draw
+    over [0, 16^8) — thresholds are the cumulative weights rendered as
+    8-digit hex, and assignment is a CASE over string compares. Pure
+    narrow column math: no shuffle, no RNG state, identical in any SQL
+    engine with md5 (the ``hash_split`` contract row pins Spark vs
+    DuckDB at value level).
+
+    ``weights`` need not sum to 1; they are normalized. Default
+    {"train": .9, "val": .05, "test": .05}.
+    """
+    if weights is None:
+        weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative and non-empty")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to > 0")
+    names = list(weights)
+    bucket = F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt),
+                          F.col(id_col).cast("string"))), 1, 8
+    )
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += weights[name] / total
+        thr = format(min(int(cum * (1 << 32)), (1 << 32) - 1), "08x")
+        cond = bucket < F.lit(thr)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(names[-1])
+    return docs.withColumn(out_col, out)

@@ -477,3 +477,53 @@ def test_dedup_groups_canonical_flag(spark):
     # the kept set is exactly the component roots
     keep = [d for d, (_, can) in rows.items() if can]
     assert sorted(keep) == [5, 30]
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash split
+# ---------------------------------------------------------------------------
+
+
+def test_hash_split_partitioning_independent(spark):
+    df = spark.range(500).selectExpr("id AS doc_id")
+    a = {r["doc_id"]: r["split"]
+         for r in P.hash_split(df).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in P.hash_split(df.repartition(7, "doc_id")).collect()}
+    c = {r["doc_id"]: r["split"]
+         for r in P.hash_split(df.coalesce(1)).collect()}
+    assert a == b == c
+
+
+def test_hash_split_proportions_and_salt(spark):
+    df = spark.range(2000).selectExpr("id AS doc_id")
+    counts = {
+        r["split"]: r["n"]
+        for r in P.hash_split(df).groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 2000 - 0.9) < 0.03
+    # a different salt draws an independent split of the same size shape
+    other = {r["doc_id"]: r["split"]
+             for r in P.hash_split(df, salt="v2").collect()}
+    base = {r["doc_id"]: r["split"]
+            for r in P.hash_split(df).collect()}
+    assert other != base
+    # weights normalize: 9/1 == 0.9/0.1
+    w1 = {r["doc_id"]: r["split"]
+          for r in P.hash_split(df, weights={"a": 9, "b": 1}).collect()}
+    w2 = {r["doc_id"]: r["split"]
+          for r in P.hash_split(df, weights={"a": .9, "b": .1}).collect()}
+    assert w1 == w2
+
+
+def test_hash_split_validation(spark):
+    df = spark.range(3).selectExpr("id AS doc_id")
+    with pytest.raises(ValueError):
+        P.hash_split(df, weights={})
+    with pytest.raises(ValueError):
+        P.hash_split(df, weights={"a": -1, "b": 2})
+    # single bucket: everything lands there without a CASE
+    assert {r["split"] for r in
+            P.hash_split(df, weights={"all": 1}).collect()} == {"all"}
