@@ -184,6 +184,63 @@ def cmd_sparsevecs(args) -> None:
     _stop(args, spark)
 
 
+def cmd_dedup(args) -> None:
+    """Training-pipeline dedup: candidate pairs -> connected-component
+    groups -> (doc_id, component, is_canonical) parquet. ``--method``
+    picks the candidate generator (all scale-safe: banded/bucketed, no
+    all-pairs joins)."""
+    from .operators.pipeline import (
+        dedup_groups,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from .sources.table_format import read_table, write_table
+
+    spark = _spark(args)
+    docs = read_table(spark, args.input).select("doc_id", "text")
+    if args.method == "minhash":
+        pairs = minhash_lsh_pairs(docs)
+    elif args.method == "jaccard":
+        pairs = ngram_jaccard_pairs(
+            docs, min_jaccard=args.min_jaccard
+        ).filter(F.col("jaccard") >= args.min_jaccard)
+    else:
+        raise SystemExit(f"unknown dedup method {args.method}")
+    groups = dedup_groups(pairs)
+    write_table(groups, args.out)
+    kept = groups.filter(~F.col("is_canonical")).count()
+    print(json.dumps({
+        "docs_in_groups": groups.count(),
+        "would_drop": kept,
+        "out": args.out,
+    }))
+    _stop(args, spark)
+
+
+def cmd_split(args) -> None:
+    """Deterministic train/val/test assignment by content hash (stable
+    under any partitioning / rerun / append — see
+    ``operators/pipeline.hash_split``)."""
+    from .operators.pipeline import hash_split
+    from .sources.table_format import read_table, write_table
+
+    spark = _spark(args)
+    weights = {}
+    for part in args.weights.split(","):
+        name, _, w = part.partition("=")
+        weights[name.strip()] = float(w)
+    docs = read_table(spark, args.input)
+    out = hash_split(docs, weights, salt=args.salt)
+    write_table(out, args.out, partition_by=["split"])
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    print(json.dumps({"counts": counts, "out": args.out}))
+    _stop(args, spark)
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="lucene_msmarco_spark")
     p.add_argument("--master", default=None)
@@ -226,6 +283,26 @@ def main(argv: list[str] | None = None) -> None:
     ps.add_argument("--weighting", default="bm25",
                     choices=["tf", "tfidf", "bm25"])
     ps.set_defaults(fn=cmd_sparsevecs)
+
+    pd_ = sub.add_parser(
+        "dedup", help="near-dup groups: pairs -> connected components"
+    )
+    pd_.add_argument("--input", required=True,
+                     help="docs parquet path / table ref (doc_id, text)")
+    pd_.add_argument("--out", required=True)
+    pd_.add_argument("--method", default="minhash",
+                     choices=["minhash", "jaccard"])
+    pd_.add_argument("--min-jaccard", type=float, default=0.5)
+    pd_.set_defaults(fn=cmd_dedup)
+
+    pt = sub.add_parser(
+        "split", help="deterministic content-hash train/val/test split"
+    )
+    pt.add_argument("--input", required=True)
+    pt.add_argument("--out", required=True)
+    pt.add_argument("--weights", default="train=0.9,val=0.05,test=0.05")
+    pt.add_argument("--salt", default="split")
+    pt.set_defaults(fn=cmd_split)
 
     args = p.parse_args(argv)
     args.fn(args)

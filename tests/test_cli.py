@@ -101,3 +101,44 @@ def test_load_pipeline_index_restores_analyzer(spark, workdir):
     assert idx.analyzer == "simple"
     assert json.load(open(os.path.join(idx_dir, "_config.json")))[
         "analyzer"] == "simple"
+
+
+def test_cli_dedup_and_split(workdir, capsys, spark):
+    d, inp = workdir
+    # dedup needs (doc_id, text): derive a doc table with injected
+    # exact-ish duplicates so minhash produces components
+    docs_dir = str(d / "docs")
+    tr = spark.read.parquet(inp).selectExpr(
+        "conv_id", "turn_idx", "text"
+    )
+    from lucene_msmarco_spark.operators.index import assign_doc_ids
+
+    docs = assign_doc_ids(tr, ["conv_id", "turn_idx"]).select(
+        "doc_id", "text"
+    )
+    dup = docs.limit(5).selectExpr("doc_id + 100000 AS doc_id", "text")
+    docs.union(dup).write.parquet(docs_dir)
+
+    groups_dir = str(d / "groups")
+    main(["dedup", "--input", docs_dir, "--out", groups_dir])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["docs_in_groups"] >= 10          # 5 dup pairs at least
+    assert out["would_drop"] >= 5
+    g = spark.read.parquet(groups_dir)
+    assert set(g.columns) == {"doc_id", "component", "is_canonical"}
+    # every injected duplicate shares a component with its source
+    comp = {r["doc_id"]: r["component"] for r in g.collect()}
+    for r in dup.collect():
+        assert comp[r["doc_id"]] == comp[r["doc_id"] - 100000]
+
+    split_dir = str(d / "split")
+    main(["split", "--input", docs_dir, "--out", split_dir,
+          "--weights", "train=0.8,holdout=0.2"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out["counts"]) == {"train", "holdout"}
+    back = spark.read.parquet(split_dir)
+    assert back.count() == docs.count() + 5
+    # hive-partitioned by split
+    assert sorted(
+        r["split"] for r in back.select("split").distinct().collect()
+    ) == ["holdout", "train"]
