@@ -201,17 +201,20 @@ def cmd_dedup(args) -> None:
     if args.method == "minhash":
         pairs = minhash_lsh_pairs(docs)
     elif args.method == "jaccard":
-        pairs = ngram_jaccard_pairs(
-            docs, min_jaccard=args.min_jaccard
-        ).filter(F.col("jaccard") >= args.min_jaccard)
+        pairs = ngram_jaccard_pairs(docs, min_jaccard=args.min_jaccard)
     else:
         raise SystemExit(f"unknown dedup method {args.method}")
     groups = dedup_groups(pairs)
-    write_table(groups, args.out)
-    kept = groups.filter(~F.col("is_canonical")).count()
+    entry = write_table(groups, args.out)
+    # count the drop set off the WRITTEN parquet, not the iterative
+    # component plan (which would recompute every star round)
+    would_drop = (
+        read_table(spark, args.out)
+        .filter(~F.col("is_canonical")).count()
+    )
     print(json.dumps({
-        "docs_in_groups": groups.count(),
-        "would_drop": kept,
+        "docs_in_groups": entry["rows"],
+        "would_drop": would_drop,
         "out": args.out,
     }))
     _stop(args, spark)

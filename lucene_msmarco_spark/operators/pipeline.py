@@ -313,6 +313,16 @@ def connected_components(
             cur = nxt
             break
         cur, cur_n = nxt, nxt_n
+    else:
+        # Returning a half-contracted star set would silently label
+        # docs with non-root components (and multiple canonicals per
+        # real cluster) — fail loudly instead. O(log^2 n) convergence
+        # means 50 rounds covers any realistic graph; hitting this is
+        # a bug or an absurd max_rounds.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} "
+            "rounds; raise max_rounds"
+        )
     # converged stars: every non-root points straight at its root
     comps = cur.select(
         F.col("u").alias("node"), F.col("v").alias("component")

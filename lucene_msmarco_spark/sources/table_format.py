@@ -34,7 +34,6 @@ like ``s3://``) is a PATH; anything else (``db.table``,
 from __future__ import annotations
 
 import json
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -43,13 +42,29 @@ from pyspark.sql import DataFrame, SparkSession
 def iceberg_available(spark: SparkSession) -> bool:
     """True iff the session JVM can load Iceberg's Spark catalog class
     (i.e. ``iceberg-spark-runtime`` is on the classpath). Cheap
-    reflection probe, no side effects."""
+    reflection probe, no side effects.
+
+    Jars supplied via ``--jars`` / ``--packages`` live in Spark's
+    mutable context classloader, which a bare ``Class.forName`` from
+    the Py4J entry point cannot see — probe through Spark's own
+    ``Utils.classForName`` (context-or-Spark classloader) first, and
+    finally fall back to the catalog CONFIG (a configured
+    ``spark.sql.catalog.<name> = ...SparkCatalog`` entry implies the
+    operator deployed the runtime) so a real deployment never gets a
+    false negative."""
+    jvm = spark._jvm  # noqa: SLF001 — public-enough Py4J surface
+    cls = "org.apache.iceberg.spark.SparkCatalog"
     try:
-        jvm = spark._jvm  # noqa: SLF001 — public-enough Py4J surface
-        jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        jvm.org.apache.spark.util.Utils.classForName(cls, True, False)
         return True
     except Exception:
-        return False
+        pass
+    try:
+        jvm.java.lang.Class.forName(cls)
+        return True
+    except Exception:
+        pass
+    return bool(iceberg_catalogs(spark))
 
 
 def iceberg_catalogs(spark: SparkSession) -> list[str]:
@@ -71,6 +86,48 @@ def is_path_ref(ref: str) -> bool:
     """PATH refs contain a '/' or a URI scheme; bare dotted names are
     table identifiers."""
     return "/" in ref or "://" in ref or ref.startswith((".", "~"))
+
+
+def _hadoop_path(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via Hadoop's FS abstraction, so
+    sidecar IO works on every scheme the Spark data write itself works
+    on (file://, hdfs://, s3a://, ...), not just the local disk."""
+    jvm = spark._jvm  # noqa: SLF001
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    return fs, p
+
+
+def _fs_read_text(spark: SparkSession, path: str) -> str | None:
+    """Read a small text file through Hadoop FS; None if absent."""
+    fs, p = _hadoop_path(spark, path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        jvm = spark._jvm  # noqa: SLF001
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
+def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small text file through Hadoop FS: tmp + rename, atomic
+    on posix/HDFS (best-effort replace on object stores — fine for the
+    advisory sidecar; the data write's own ``_SUCCESS`` marker governs
+    data visibility)."""
+    fs, p = _hadoop_path(spark, path)
+    fs_tmp, tmp = _hadoop_path(spark, path + ".tmp")
+    out = fs_tmp.create(tmp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(p):
+        fs.delete(p, False)
+    fs.rename(tmp, p)
 
 
 def read_table(spark: SparkSession, ref: str) -> DataFrame:
@@ -112,18 +169,22 @@ def write_table(
     spark = df.sparkSession
     if is_path_ref(ref):
         t0 = time.time()
+        commit_path = ref.rstrip("/") + "/_commit.json"
+        # Read the prior commit id BEFORE the data write: overwrite
+        # mode deletes the target directory (sidecar included), and the
+        # id must stay monotonic across overwrites — an Iceberg
+        # snapshot id never goes backwards.
+        prev_id = -1
+        try:
+            raw = _fs_read_text(spark, commit_path)
+            if raw is not None:
+                prev_id = int(json.loads(raw).get("commit_id", -1))
+        except (json.JSONDecodeError, ValueError):
+            prev_id = -1
         w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(ref)
-        commit_path = os.path.join(ref, "_commit.json")
-        prev_id = -1
-        if os.path.exists(commit_path):
-            try:
-                with open(commit_path) as f:
-                    prev_id = int(json.load(f).get("commit_id", -1))
-            except (json.JSONDecodeError, ValueError):
-                prev_id = -1
         n = spark.read.parquet(ref).count()
         entry = {
             "commit_id": prev_id + 1,
@@ -134,10 +195,7 @@ def write_table(
             "committed_at": time.time(),
             "wall_s": round(time.time() - t0, 3),
         }
-        tmp = commit_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(entry, f)
-        os.replace(tmp, commit_path)  # atomic on POSIX
+        _fs_write_text(spark, commit_path, json.dumps(entry))
         return entry
     if iceberg_available(spark):
         wt = df.writeTo(ref).using("iceberg")
