@@ -464,6 +464,16 @@ def test_cc_empty_and_string_ids(spark):
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
+def test_cc_raises_on_round_exhaustion(spark):
+    """Exhausting max_rounds must fail loudly, not return a
+    half-contracted star set (silent wrong components)."""
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        P.connected_components(df, max_rounds=0)
+
+
 def test_dedup_groups_canonical_flag(spark):
     pairs = spark.createDataFrame(
         [(5, 9), (9, 12), (30, 31)], "doc_a long, doc_b long"
