@@ -12,11 +12,17 @@
     python -m lucene_msmarco_spark.cli qpp --index idx/ --queries queries.tsv \
         --res run.res --predictor nqc
     python -m lucene_msmarco_spark.cli sparsevecs --index idx/ --out vecs/
+    python -m lucene_msmarco_spark.cli ingest --input batch/ --index sidx/
+    python -m lucene_msmarco_spark.cli retrieve --index sidx/ ...  # BMW path
 
-The index directory is an ``IndexBuildPipeline`` output (manifest +
-doc_ids/tokens_tf/doc_stats/term_stats/postings parquet stages) — i.e.
-builds are checkpoint-resumable: rerunning ``index`` resumes after a
-kill.
+``index`` writes an ``IndexBuildPipeline`` output (manifest + parquet
+stages; checkpoint-resumable — rerunning resumes after a kill).
+``ingest`` maintains the incremental SEGMENTED serving index
+(``SegmentedIndexWriter``: content-addressed appends, size-tiered
+auto-compaction, optional Structured-Streaming backfill). ``retrieve``
+auto-detects the layout: segmented/compact dirs serve BM25 through the
+compressed Block-Max path; pipeline dirs (and non-BM25 models) score
+the row-level form.
 """
 
 from __future__ import annotations
@@ -89,6 +95,32 @@ def load_pipeline_index(spark: SparkSession, index_dir: str):
     )
 
 
+def load_serving_index(spark: SparkSession, index_dir: str):
+    """Detect and open whichever index layout lives under ``index_dir``.
+
+    Returns ``(kind, index)`` where kind is:
+
+    - ``"compact"`` — a ``CompactIndex.save`` artifact (``_stats.json``
+      + ``postings/``) or a ``SegmentedIndexWriter`` dir (manifest +
+      ``seg-*`` generations); index is a CompactIndex — the compressed
+      serving artifact, scored via Block-Max WAND;
+    - ``"rows"`` — an ``IndexBuildPipeline`` stage dir; index is the
+      row-level InvertedIndex (every scoring model, feedback, QPP).
+    """
+    import glob
+    import os
+
+    if os.path.exists(os.path.join(index_dir, "_stats.json")):
+        from .operators.postings import CompactIndex
+
+        return "compact", CompactIndex.load(spark, index_dir)
+    if glob.glob(os.path.join(index_dir, "seg-*")):
+        from .streaming.incremental import SegmentedIndexWriter
+
+        return "compact", SegmentedIndexWriter.open(spark, index_dir).load()
+    return "rows", load_pipeline_index(spark, index_dir)
+
+
 def cmd_index(args) -> None:
     from .streaming.incremental import BuildConfig, IndexBuildPipeline
 
@@ -107,16 +139,89 @@ def cmd_index(args) -> None:
 
 
 def cmd_retrieve(args) -> None:
-    from .operators.retrieval import search
+    from .operators.retrieval import compile_queries, search
     from .sources.readers import read_queries_tsv
     from .sources.writers import write_trec_run
 
     spark = _spark(args)
-    idx = load_pipeline_index(spark, args.index)
+    kind, idx = load_serving_index(spark, args.index)
     queries = read_queries_tsv(spark, args.queries)
-    run = search(idx, queries, model=args.model, k=args.k)
+    if kind == "compact" and args.model == "bm25":
+        # the compressed serving path: broadcast query bag, one task per
+        # segment, Block-Max scoring — postings never shuffle
+        from .operators.postings import bmw_search
+
+        qt = compile_queries(queries, idx.analyzer)
+        run = bmw_search(idx, qt, k=args.k)
+    elif kind == "compact":
+        # non-BM25 models score off the row-level form; rehydrate the
+        # blobs (decode is distributed, mapInPandas) and reuse `search`
+        run = search(idx.to_inverted_index(), queries,
+                     model=args.model, k=args.k)
+    else:
+        run = search(idx, queries, model=args.model, k=args.k)
     write_trec_run(run, args.out, run_name=args.run_name)
-    print(json.dumps({"queries": queries.count(), "out": args.out}))
+    print(json.dumps({
+        "engine": "bmw" if kind == "compact" and args.model == "bm25"
+        else "rows",
+        "queries": queries.count(), "out": args.out,
+    }))
+    _stop(args, spark)
+
+
+def cmd_ingest(args) -> None:
+    """Incremental serving-index maintenance: append transcript batches
+    into a ``SegmentedIndexWriter`` dir with size-tiered auto-compaction
+    (the Lucene ``IndexWriter.addDocument`` + background-merge shape).
+    ``--stream`` tails the input dir through Structured Streaming
+    (availableNow: drain-and-stop backfill), one generation per
+    micro-batch, exactly-once under replays."""
+    import os
+
+    from .streaming.incremental import (
+        BuildConfig,
+        MergePolicy,
+        SegmentedIndexWriter,
+        stream_append,
+    )
+
+    spark = _spark(args)
+    if os.path.exists(os.path.join(args.index, "_config.json")):
+        writer = SegmentedIndexWriter.open(spark, args.index)
+        if args.analyzer and args.analyzer != writer.config.analyzer:
+            raise SystemExit(
+                f"index {args.index} was built with analyzer "
+                f"{writer.config.analyzer!r}; --analyzer {args.analyzer!r} "
+                "would mix token spaces"
+            )
+    else:
+        writer = SegmentedIndexWriter(
+            spark, args.index,
+            BuildConfig(analyzer=args.analyzer or "english"),
+        )
+    policy = MergePolicy(merge_factor=args.merge_factor)
+    if args.stream:
+        from .sources.transcripts import TRANSCRIPT_SCHEMA
+
+        src = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(args.input)
+        q = stream_append(
+            writer, src,
+            checkpoint_dir=os.path.join(args.index, "_stream_checkpoint"),
+            merge_policy=policy,
+        )
+        q.awaitTermination()
+    else:
+        from .sources.table_format import read_transcripts
+
+        writer.append(read_transcripts(spark, args.input))
+        writer.maybe_compact(policy)
+    st = writer.state()
+    print(json.dumps({
+        "n_docs": st["n_docs"],
+        "live_generations": len(st["live"]),
+        "next_gen": st["next_gen"],
+        "index": args.index,
+    }))
     _stop(args, spark)
 
 
@@ -265,6 +370,23 @@ def main(argv: list[str] | None = None) -> None:
     pr.add_argument("--out", required=True)
     pr.add_argument("--run-name", default="lms")
     pr.set_defaults(fn=cmd_retrieve)
+
+    pg = sub.add_parser(
+        "ingest",
+        help="incremental append into a segmented serving index "
+             "(size-tiered auto-compaction; --stream for Structured "
+             "Streaming backfill)",
+    )
+    pg.add_argument("--input", required=True,
+                    help="transcript parquet path / table ref")
+    pg.add_argument("--index", required=True,
+                    help="SegmentedIndexWriter directory")
+    pg.add_argument("--analyzer", default=None,
+                    help="analyzer for a NEW index (existing indexes "
+                         "restore theirs from _config.json)")
+    pg.add_argument("--merge-factor", type=int, default=10)
+    pg.add_argument("--stream", action="store_true")
+    pg.set_defaults(fn=cmd_ingest)
 
     pe = sub.add_parser("evaluate", help="evaluate a res file vs qrels")
     pe.add_argument("--res", required=True)

@@ -456,6 +456,53 @@ class SegmentedIndexWriter:
     def manifest_path(self) -> str:
         return os.path.join(self.index_dir, "_manifest.jsonl")
 
+    @property
+    def config_path(self) -> str:
+        return os.path.join(self.index_dir, "_config.json")
+
+    @classmethod
+    def open(cls, spark: SparkSession, index_dir: str) -> "SegmentedIndexWriter":
+        """Rehydrate a writer over an existing index dir, restoring the
+        BuildConfig (analyzer etc.) and keys persisted at first commit —
+        the same contract as the pipeline's ``_config.json`` (an index
+        built with ``--analyzer simple`` must be searched with the same
+        chain, ADVICE r1). Falls back to defaults for dirs written
+        before the sidecar existed."""
+        cfg, keys = BuildConfig(), ("conv_id", "turn_idx")
+        p = os.path.join(index_dir, "_config.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                raw = json.load(f)
+            keys = tuple(raw.pop("keys", keys))
+            raw.pop("config_hash", None)
+            cfg = BuildConfig(**{
+                k: v for k, v in raw.items()
+                if k in BuildConfig.__dataclass_fields__
+            })
+        return cls(spark, index_dir, cfg, keys=keys)
+
+    def _persist_config(self) -> None:
+        """Write the ``_config.json`` sidecar (idempotent; guards a
+        DIFFERENT config against an existing index — appending with a
+        mismatched analyzer would silently mix token spaces)."""
+        body = dict(self.config.__dict__, keys=list(self.keys))
+        if os.path.exists(self.config_path):
+            with open(self.config_path) as f:
+                prior = json.load(f)
+            if prior != body:
+                changed = sorted(
+                    k for k in set(prior) | set(body)
+                    if prior.get(k) != body.get(k)
+                )
+                raise ValueError(
+                    f"writer config mismatch vs {self.config_path} "
+                    f"(differs in {changed}); open the index with "
+                    "SegmentedIndexWriter.open() to restore its config"
+                )
+            return
+        with open(self.config_path, "w") as f:
+            json.dump(body, f)
+
     # ---- manifest state --------------------------------------------------
 
     def _entries(self) -> list[dict]:
@@ -557,6 +604,7 @@ class SegmentedIndexWriter:
 
     def _commit(self, entry: dict) -> None:
         os.makedirs(self.index_dir, exist_ok=True)
+        self._persist_config()
         self._repair_manifest()
         with open(self.manifest_path, "a") as f:
             f.write(json.dumps(entry) + "\n")
@@ -600,6 +648,10 @@ class SegmentedIndexWriter:
             encode_postings_segmented,
         )
 
+        if os.path.exists(self.config_path):
+            # fail BEFORE the build, not at commit time, when this
+            # writer's config disagrees with the index's persisted one
+            self._persist_config()
         fp = self._fingerprint(batch_df)
         st = self.state()
         # scan ALL appends ever (a compacted-away append still owns its

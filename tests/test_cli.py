@@ -103,6 +103,86 @@ def test_load_pipeline_index_restores_analyzer(spark, workdir):
         "analyzer"] == "simple"
 
 
+def test_cli_ingest_and_bmw_retrieve(workdir, capsys, spark):
+    """ingest (two appends -> tiered compaction) then retrieve: the
+    segmented layout is auto-detected, served through the Block-Max
+    path, and value-matches the row-level engine over the same index."""
+    import glob
+
+    d, inp = workdir
+    sidx = str(d / "seg_index")
+    half1, half2 = str(d / "ingest_a"), str(d / "ingest_b")
+    tr = spark.read.parquet(inp)
+    tr.filter("turn_idx % 2 = 0").write.mode("overwrite").parquet(half1)
+    tr.filter("turn_idx % 2 = 1").write.mode("overwrite").parquet(half2)
+
+    main(["ingest", "--input", half1, "--index", sidx,
+          "--merge-factor", "2"])
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["live_generations"] == 1
+
+    main(["ingest", "--input", half2, "--index", sidx,
+          "--merge-factor", "2"])
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["n_docs"] == 200
+    # two same-tier generations + merge_factor=2 -> compacted into ONE
+    assert out2["live_generations"] == 1
+    assert out2["next_gen"] == 3  # append, append, compact
+
+    # idempotence: re-ingesting a committed batch is a no-op
+    main(["ingest", "--input", half2, "--index", sidx,
+          "--merge-factor", "2"])
+    out3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out3["n_docs"] == 200 and out3["next_gen"] == 3
+
+    # analyzer guard: a mismatched --analyzer must refuse, not mix
+    with pytest.raises(SystemExit):
+        main(["ingest", "--input", half1, "--index", sidx,
+              "--analyzer", "simple"])
+    capsys.readouterr()
+
+    res_path = str(d / "run_bmw.res")
+    main(["retrieve", "--index", sidx, "--queries",
+          str(d / "queries.tsv"), "--model", "bm25", "--k", "200",
+          "--out", res_path])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["engine"] == "bmw"
+
+    got: dict[str, dict[str, float]] = {}
+    for part in glob.glob(os.path.join(res_path, "part-*")):
+        for ln in open(part).read().splitlines():
+            qid, _, docid, _, score, _ = ln.split("\t")
+            got.setdefault(qid, {})[docid] = round(float(score), 4)
+
+    # value-match the row-level engine over the SAME segmented index
+    from lucene_msmarco_spark.cli import load_serving_index
+    from lucene_msmarco_spark.operators.retrieval import search
+
+    kind, compact = load_serving_index(spark, sidx)
+    assert kind == "compact"
+    assert compact.analyzer == "english"
+    rows = search(compact.to_inverted_index(),
+                  spark.createDataFrame(
+                      [("q1", "ricufex kekegra report"),
+                       ("q2", "tamori polgrake verlu")],
+                      "qid string, qtext string"),
+                  model="bm25", k=200).collect()
+    want: dict[str, dict[str, float]] = {}
+    for r in rows:
+        want.setdefault(r["qid"], {})[str(r["doc_id"])] = round(
+            float(r["score"]), 4)
+    assert got and got == want
+
+    # non-BM25 model over the compact layout: rows-engine fallback
+    res2 = str(d / "run_lmdir.res")
+    main(["retrieve", "--index", sidx, "--queries",
+          str(d / "queries.tsv"), "--model", "lmdir", "--k", "5",
+          "--out", res2])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["engine"] == "rows"
+    assert glob.glob(os.path.join(res2, "part-*"))
+
+
 def test_cli_dedup_and_split(workdir, capsys, spark):
     d, inp = workdir
     # dedup needs (doc_id, text): derive a doc table with injected
