@@ -289,6 +289,89 @@ def cmd_sparsevecs(args) -> None:
     _stop(args, spark)
 
 
+def cmd_compact(args) -> None:
+    """Index-artifact lifecycle maintenance. Without ``--out``: force a
+    full merge of a ``SegmentedIndexWriter`` dir's live generations (the
+    explicit Lucene forceMerge analog; routine maintenance happens
+    automatically via the tiered policy in ``ingest``). With ``--out``:
+    export ANY index layout (pipeline / writer / compact) as a
+    ``CompactIndex.save`` serving artifact — postings parquet + stats
+    sidecar, the shippable form ``retrieve`` serves through the
+    Block-Max path."""
+    spark = _spark(args)
+    if args.out:
+        kind, idx = load_serving_index(spark, args.index)
+        if kind == "rows":
+            from .operators.postings import CompactIndex
+
+            idx = CompactIndex.from_index(idx)
+        idx.save(args.out)
+        print(json.dumps({
+            "exported": args.out, "n_docs": idx.stats.n_docs,
+            "from": kind,
+        }))
+    else:
+        from .streaming.incremental import SegmentedIndexWriter
+
+        writer = SegmentedIndexWriter.open(spark, args.index)
+        entry = writer.compact()
+        st = writer.state()
+        print(json.dumps({
+            "merged": entry["replaces"] if entry else [],
+            "live_generations": len(st["live"]),
+            "n_docs": st["n_docs"],
+        }))
+    _stop(args, spark)
+
+
+def cmd_ann(args) -> None:
+    """Approximate-nearest-neighbor search over an embedding table
+    (vec_id, embedding array<float>). ``brute`` is the exact baseline
+    (broadcasts the query set — fine for query batches, not for
+    all-pairs at scale); ``lsh``/``ivf`` are the scale paths
+    (bucketed/inverted-file candidate generation, exact cosine only on
+    candidates). ``ivf`` persists its coarse quantizer under
+    ``--model-dir`` (fit on first use, reused after — the restartable
+    ANN artifact)."""
+    from .operators.pipeline import (
+        ann_brute_topk,
+        ann_ivf_topk,
+        ann_lsh_topk,
+        fit_ivf_centroids,
+        load_ivf_model,
+        save_ivf_model,
+    )
+    from .sources.table_format import read_table, write_table
+
+    spark = _spark(args)
+    emb = read_table(spark, args.embeddings)
+    if args.method == "brute":
+        q = read_table(spark, args.queries) if args.queries else emb
+        out = ann_brute_topk(emb, q, k=args.k)
+    elif args.method == "lsh":
+        out = ann_lsh_topk(emb, k=args.k)
+    elif args.method == "ivf":
+        import os
+
+        C = None
+        if args.model_dir and os.path.exists(
+            os.path.join(args.model_dir, "centroids")
+        ):
+            C, _ = load_ivf_model(spark, args.model_dir)
+        if C is None:
+            C = fit_ivf_centroids(emb, args.n_lists)
+            if args.model_dir:
+                save_ivf_model(spark, C, args.model_dir)
+        out = ann_ivf_topk(emb, k=args.k, centroids=C, nprobe=args.nprobe)
+    else:
+        raise SystemExit(f"unknown ann method {args.method}")
+    entry = write_table(out, args.out)
+    print(json.dumps({
+        "method": args.method, "rows": entry["rows"], "out": args.out,
+    }))
+    _stop(args, spark)
+
+
 def cmd_dedup(args) -> None:
     """Training-pipeline dedup: candidate pairs -> connected-component
     groups -> (doc_id, component, is_canonical) parquet. ``--method``
@@ -408,6 +491,36 @@ def main(argv: list[str] | None = None) -> None:
     ps.add_argument("--weighting", default="bm25",
                     choices=["tf", "tfidf", "bm25"])
     ps.set_defaults(fn=cmd_sparsevecs)
+
+    pc = sub.add_parser(
+        "compact",
+        help="force-merge a segmented index's live generations, or "
+             "export any index layout as a CompactIndex serving "
+             "artifact (--out)",
+    )
+    pc.add_argument("--index", required=True)
+    pc.add_argument("--out", default=None,
+                    help="export target (CompactIndex.save dir)")
+    pc.set_defaults(fn=cmd_compact)
+
+    pa = sub.add_parser(
+        "ann", help="nearest-neighbor search over an embedding table"
+    )
+    pa.add_argument("--embeddings", required=True,
+                    help="parquet path / table ref (vec_id, embedding)")
+    pa.add_argument("--queries", default=None,
+                    help="optional query-vector table (brute method); "
+                         "defaults to self-search")
+    pa.add_argument("--method", default="ivf",
+                    choices=["brute", "lsh", "ivf"])
+    pa.add_argument("--k", type=int, default=5)
+    pa.add_argument("--n-lists", type=int, default=16)
+    pa.add_argument("--nprobe", type=int, default=4)
+    pa.add_argument("--model-dir", default=None,
+                    help="IVF quantizer persistence dir (fit once, "
+                         "reuse across runs)")
+    pa.add_argument("--out", required=True)
+    pa.set_defaults(fn=cmd_ann)
 
     pd_ = sub.add_parser(
         "dedup", help="near-dup groups: pairs -> connected components"

@@ -183,6 +183,86 @@ def test_cli_ingest_and_bmw_retrieve(workdir, capsys, spark):
     assert glob.glob(os.path.join(res2, "part-*"))
 
 
+def test_cli_compact_merge_and_export(workdir, capsys, spark):
+    """compact: force-merge a writer dir, then export it (and a
+    pipeline dir) as a CompactIndex artifact retrieve can serve."""
+    import glob
+
+    d, inp = workdir
+    sidx = str(d / "seg_index2")
+    tr = spark.read.parquet(inp)
+    for i in range(3):
+        part = str(d / f"ingest_mod{i}")
+        tr.filter(f"pmod(crc32(conv_id) + turn_idx, 3) = {i}").write.mode(
+            "overwrite").parquet(part)
+        # merge-factor high enough that nothing auto-compacts
+        main(["ingest", "--input", part, "--index", sidx,
+              "--merge-factor", "10"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["live_generations"] == 3
+
+    main(["compact", "--index", sidx])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["merged"] == [0, 1, 2]
+    assert out["live_generations"] == 1 and out["n_docs"] == 200
+
+    # export the merged writer dir -> CompactIndex.save artifact
+    art = str(d / "artifact")
+    main(["compact", "--index", sidx, "--out", art])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["from"] == "compact" and out["n_docs"] == 200
+    assert os.path.exists(os.path.join(art, "_stats.json"))
+
+    # retrieve serves the exported artifact through the BMW path
+    res_path = str(d / "run_art.res")
+    main(["retrieve", "--index", art, "--queries",
+          str(d / "queries.tsv"), "--k", "10", "--out", res_path])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["engine"] == "bmw"
+    assert glob.glob(os.path.join(res_path, "part-*"))
+
+    # a pipeline dir exports too (rows -> compact conversion)
+    idx_dir = str(d / "index")
+    if not os.path.exists(os.path.join(idx_dir, "_manifest.jsonl")):
+        main(["index", "--input", inp, "--out", idx_dir])
+        capsys.readouterr()
+    art2 = str(d / "artifact_from_pipeline")
+    main(["compact", "--index", idx_dir, "--out", art2])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["from"] == "rows" and out["n_docs"] == 200
+
+
+def test_cli_ann(workdir, capsys, spark):
+    """ann: ivf with quantizer persistence (second run reuses the
+    model), plus the brute baseline."""
+    d, _ = workdir
+    emb_path = "/root/testdata/sf0.001/embeddings.parquet"
+    model_dir = str(d / "ivf_model")
+    out_dir = str(d / "ann_out")
+    main(["ann", "--embeddings", emb_path, "--method", "ivf",
+          "--k", "3", "--model-dir", model_dir, "--out", out_dir])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] > 0
+    assert os.path.exists(os.path.join(model_dir, "centroids"))
+    res1 = {(r["qvec"], r["rank"]): r["nvec"]
+            for r in spark.read.parquet(out_dir).collect()}
+
+    # second run loads the persisted quantizer -> identical assignment
+    out_dir2 = str(d / "ann_out2")
+    main(["ann", "--embeddings", emb_path, "--method", "ivf",
+          "--k", "3", "--model-dir", model_dir, "--out", out_dir2])
+    capsys.readouterr()
+    res2 = {(r["qvec"], r["rank"]): r["nvec"]
+            for r in spark.read.parquet(out_dir2).collect()}
+    assert res1 == res2
+
+    out_dir3 = str(d / "ann_brute")
+    main(["ann", "--embeddings", emb_path, "--method", "brute",
+          "--k", "3", "--out", out_dir3])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] > 0
+
+
 def test_cli_dedup_and_split(workdir, capsys, spark):
     d, inp = workdir
     # dedup needs (doc_id, text): derive a doc table with injected
