@@ -146,7 +146,8 @@ def cmd_retrieve(args) -> None:
     spark = _spark(args)
     kind, idx = load_serving_index(spark, args.index)
     queries = read_queries_tsv(spark, args.queries)
-    if kind == "compact" and args.model == "bm25":
+    engine = "bmw" if kind == "compact" and args.model == "bm25" else "rows"
+    if engine == "bmw":
         # the compressed serving path: broadcast query bag, one task per
         # segment, Block-Max scoring — postings never shuffle
         from .operators.postings import bmw_search
@@ -162,9 +163,7 @@ def cmd_retrieve(args) -> None:
         run = search(idx, queries, model=args.model, k=args.k)
     write_trec_run(run, args.out, run_name=args.run_name)
     print(json.dumps({
-        "engine": "bmw" if kind == "compact" and args.model == "bm25"
-        else "rows",
-        "queries": queries.count(), "out": args.out,
+        "engine": engine, "queries": queries.count(), "out": args.out,
     }))
     _stop(args, spark)
 
@@ -194,15 +193,32 @@ def cmd_ingest(args) -> None:
                 f"{writer.config.analyzer!r}; --analyzer {args.analyzer!r} "
                 "would mix token spaces"
             )
+    elif os.path.exists(os.path.join(args.index, "_manifest.jsonl")):
+        raise SystemExit(
+            f"{args.index} has commits but no _config.json (written "
+            "before config persistence); appending would guess the "
+            "analyzer — rebuild or restore the sidecar by hand"
+        )
     else:
         writer = SegmentedIndexWriter(
             spark, args.index,
             BuildConfig(analyzer=args.analyzer or "english"),
         )
-    policy = MergePolicy(merge_factor=args.merge_factor)
+    try:
+        policy = MergePolicy(merge_factor=args.merge_factor)
+    except ValueError as e:
+        raise SystemExit(str(e)) from e
     if args.stream:
+        from .sources.table_format import is_path_ref
         from .sources.transcripts import TRANSCRIPT_SCHEMA
 
+        if not is_path_ref(args.input):
+            raise SystemExit(
+                f"--stream needs a parquet directory path, got table "
+                f"ref {args.input!r} (streaming table sources need the "
+                "Iceberg runtime; run without --stream for batch "
+                "appends from a table ref)"
+            )
         src = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(args.input)
         q = stream_append(
             writer, src,
@@ -311,8 +327,18 @@ def cmd_compact(args) -> None:
             "from": kind,
         }))
     else:
+        import glob
+        import os
+
         from .streaming.incremental import SegmentedIndexWriter
 
+        if not glob.glob(os.path.join(args.index, "seg-*")):
+            raise SystemExit(
+                f"{args.index} is not a SegmentedIndexWriter layout "
+                "(no seg-* generations); only writer dirs support "
+                "merge — use --out to export this index as a serving "
+                "artifact instead"
+            )
         writer = SegmentedIndexWriter.open(spark, args.index)
         entry = writer.compact()
         st = writer.state()
@@ -344,10 +370,23 @@ def cmd_ann(args) -> None:
     from .sources.table_format import read_table, write_table
 
     spark = _spark(args)
+    if args.queries and args.method != "brute":
+        # lsh/ivf hash-assign queries alongside the corpus (self-search
+        # semantics); silently ignoring an external query table would
+        # return answers to a question the user didn't ask
+        raise SystemExit(
+            "--queries is only supported with --method brute; lsh/ivf "
+            "self-search the embedding table"
+        )
     emb = read_table(spark, args.embeddings)
     if args.method == "brute":
-        q = read_table(spark, args.queries) if args.queries else emb
-        out = ann_brute_topk(emb, q, k=args.k)
+        if args.queries:
+            # external query table: its vec_ids are an unrelated id
+            # space — keep corpus vectors whose id happens to collide
+            q = read_table(spark, args.queries)
+            out = ann_brute_topk(emb, q, k=args.k, exclude_self=False)
+        else:
+            out = ann_brute_topk(emb, emb, k=args.k)
     elif args.method == "lsh":
         out = ann_lsh_topk(emb, k=args.k)
     elif args.method == "ivf":

@@ -374,19 +374,29 @@ def _cos(a, b):
 def ann_brute_topk(
     embeddings: DataFrame, query_vecs: DataFrame, k: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query set against the
     full embedding table — the baseline every approximate variant is
-    checked against. Output: (qvec, nvec, rank, sim)."""
+    checked against. Output: (qvec, nvec, rank, sim).
+
+    ``exclude_self`` (default True) drops results where the corpus id
+    equals the query id — correct when ``query_vecs`` is drawn from
+    ``embeddings`` (self-search). Pass False when the query table is an
+    UNRELATED id space: an id collision there is not "the same vector",
+    and dropping it silently corrupts that query's top-k."""
     q = query_vecs.select(
         F.col(id_col).alias("qvec"), F.col(vec_col).alias("qemb")
     )
     e = embeddings.select(
         F.col(id_col).alias("nvec"), F.col(vec_col).alias("nemb")
     )
-    sims = e.crossJoin(F.broadcast(q)).filter(
-        F.col("qvec") != F.col("nvec")
-    ).select("qvec", "nvec", _cos(F.col("qemb"), F.col("nemb")).alias("sim"))
+    sims = e.crossJoin(F.broadcast(q))
+    if exclude_self:
+        sims = sims.filter(F.col("qvec") != F.col("nvec"))
+    sims = sims.select(
+        "qvec", "nvec", _cos(F.col("qemb"), F.col("nemb")).alias("sim")
+    )
     w = Window.partitionBy("qvec").orderBy(
         F.desc("sim"), F.asc("nvec")
     )

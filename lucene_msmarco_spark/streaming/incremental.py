@@ -390,11 +390,18 @@ class MergePolicy:
     few batches (the write-amplification trap ADVICE r4 flagged in the
     old ``compact_every`` full merge)."""
 
-    #: members per size tier before that tier merges
+    #: members per size tier before that tier merges (>= 2: a 1-way
+    #: "merge" would loop forever and tier_of's log base needs > 1)
     merge_factor: int = 10
     #: never produce a merged generation above this many docs (None =
     #: unbounded); caps the largest single compaction task set
     max_merged_docs: int | None = None
+
+    def __post_init__(self) -> None:
+        if self.merge_factor < 2:
+            raise ValueError(
+                f"merge_factor must be >= 2, got {self.merge_factor}"
+            )
 
     def tier_of(self, n_docs: int) -> int:
         import math
@@ -466,34 +473,46 @@ class SegmentedIndexWriter:
         BuildConfig (analyzer etc.) and keys persisted at first commit —
         the same contract as the pipeline's ``_config.json`` (an index
         built with ``--analyzer simple`` must be searched with the same
-        chain, ADVICE r1). Falls back to defaults for dirs written
-        before the sidecar existed."""
-        cfg, keys = BuildConfig(), ("conv_id", "turn_idx")
+        chain, ADVICE r1). A new (empty) dir opens with defaults; a dir
+        that HAS commits but predates the sidecar refuses — guessing
+        the analyzer here would tokenize the next append with the wrong
+        chain and then stamp that wrong guess as authoritative."""
         p = os.path.join(index_dir, "_config.json")
-        if os.path.exists(p):
-            with open(p) as f:
-                raw = json.load(f)
-            keys = tuple(raw.pop("keys", keys))
-            raw.pop("config_hash", None)
-            cfg = BuildConfig(**{
-                k: v for k, v in raw.items()
-                if k in BuildConfig.__dataclass_fields__
-            })
+        if not os.path.exists(p):
+            if os.path.exists(os.path.join(index_dir, "_manifest.jsonl")):
+                raise FileNotFoundError(
+                    f"{index_dir} has a manifest but no _config.json "
+                    "(written before config persistence existed); "
+                    "construct SegmentedIndexWriter(...) directly with "
+                    "the index's original BuildConfig — open() will not "
+                    "guess the analyzer"
+                )
+            return cls(spark, index_dir)
+        with open(p) as f:
+            raw = json.load(f)
+        keys = tuple(raw.pop("keys", ("conv_id", "turn_idx")))
+        raw.pop("config_hash", None)
+        cfg = BuildConfig(**{
+            k: v for k, v in raw.items()
+            if k in BuildConfig.__dataclass_fields__
+        })
         return cls(spark, index_dir, cfg, keys=keys)
 
     def _persist_config(self) -> None:
         """Write the ``_config.json`` sidecar (idempotent; guards a
         DIFFERENT config against an existing index — appending with a
-        mismatched analyzer would silently mix token spaces)."""
+        mismatched analyzer would silently mix token spaces). The
+        comparison spans only keys BOTH sides know: a BuildConfig field
+        added or removed across engine versions must not brick an
+        otherwise-matching index (read-tolerance and write-tolerance
+        stay symmetric)."""
         body = dict(self.config.__dict__, keys=list(self.keys))
         if os.path.exists(self.config_path):
             with open(self.config_path) as f:
                 prior = json.load(f)
-            if prior != body:
-                changed = sorted(
-                    k for k in set(prior) | set(body)
-                    if prior.get(k) != body.get(k)
-                )
+            shared = set(prior) & set(body)
+            changed = sorted(k for k in shared if prior[k] != body[k])
+            if changed:
                 raise ValueError(
                     f"writer config mismatch vs {self.config_path} "
                     f"(differs in {changed}); open the index with "

@@ -263,6 +263,56 @@ def test_cli_ann(workdir, capsys, spark):
     assert out["rows"] > 0
 
 
+def test_cli_guardrails(workdir, capsys, spark):
+    """Misuse paths fail loudly with a message, not a traceback or a
+    silently-wrong answer."""
+    d, inp = workdir
+    idx_dir = str(d / "index")
+    if not os.path.exists(os.path.join(idx_dir, "_manifest.jsonl")):
+        main(["index", "--input", inp, "--out", idx_dir])
+        capsys.readouterr()
+
+    # compact (merge mode) on a pipeline dir: clear refusal
+    with pytest.raises(SystemExit, match="not a SegmentedIndexWriter"):
+        main(["compact", "--index", idx_dir])
+
+    # ann: external queries with a self-search method
+    with pytest.raises(SystemExit, match="only supported with"):
+        main(["ann", "--embeddings",
+              "/root/testdata/sf0.001/embeddings.parquet",
+              "--queries", "/root/testdata/sf0.001/embeddings.parquet",
+              "--method", "ivf", "--out", str(d / "nope")])
+
+    # ingest: degenerate merge factor refuses BEFORE any append
+    with pytest.raises(SystemExit, match="merge_factor"):
+        main(["ingest", "--input", inp, "--index", str(d / "nope_idx"),
+              "--merge-factor", "1"])
+    assert not os.path.exists(str(d / "nope_idx"))
+
+    # ingest --stream: table refs need the Iceberg streaming source
+    with pytest.raises(SystemExit, match="parquet directory path"):
+        main(["ingest", "--input", "db.transcripts",
+              "--index", str(d / "nope_idx2"), "--stream"])
+
+
+def test_ann_brute_external_queries_keep_id_collisions(spark):
+    """exclude_self=False: an external query table's vec_ids are an
+    unrelated id space — a collision must not drop the corpus vector."""
+    from lucene_msmarco_spark.operators.pipeline import ann_brute_topk
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    kept = ann_brute_topk(emb, q, k=1, exclude_self=False).collect()
+    assert [(r["nvec"], round(r["sim"], 6)) for r in kept] == [(1, 1.0)]
+    dropped = ann_brute_topk(emb, q, k=1, exclude_self=True).collect()
+    assert [r["nvec"] for r in dropped] == [2]
+
+
 def test_cli_dedup_and_split(workdir, capsys, spark):
     d, inp = workdir
     # dedup needs (doc_id, text): derive a doc table with injected

@@ -602,6 +602,54 @@ def test_maybe_compact_noop_below_threshold(spark, tmp_path):
     assert len(w.state()["live"]) == 1
 
 
+def test_merge_policy_rejects_degenerate_factor():
+    from lucene_msmarco_spark.streaming.incremental import MergePolicy
+
+    for bad in (0, 1, -3):
+        with pytest.raises(ValueError, match="merge_factor"):
+            MergePolicy(merge_factor=bad)
+
+
+def test_writer_open_restores_config_and_refuses_legacy(spark, tmp_path):
+    """open() restores the persisted BuildConfig; a dir with commits
+    but NO _config.json (pre-sidecar) refuses instead of guessing the
+    analyzer; a future-versioned sidecar (extra/missing fields) still
+    opens and appends (key-intersection comparison)."""
+    from lucene_msmarco_spark.streaming.incremental import (
+        SegmentedIndexWriter,
+    )
+
+    w, pdf, batches = _writer_fixture(spark, tmp_path)
+    w.config.analyzer = "simple"
+    w.append(spark.createDataFrame(batches[0]))
+
+    w2 = SegmentedIndexWriter.open(spark, w.index_dir)
+    assert w2.config.analyzer == "simple"
+    assert w2.keys == ("conv_id", "turn_idx")
+
+    # schema evolution: sidecar gains an unknown field and loses a
+    # known one -> open() tolerates, append still commits
+    cfg = json.load(open(w.config_path))
+    cfg["future_knob"] = 7
+    del cfg["block_size"]
+    json.dump(cfg, open(w.config_path, "w"))
+    w3 = SegmentedIndexWriter.open(spark, w.index_dir)
+    assert w3.config.analyzer == "simple"
+    w3.append(spark.createDataFrame(batches[1]))
+    assert w3.state()["n_docs"] == len(batches[0]) + len(batches[1])
+
+    # pre-sidecar dir: manifest but no config -> open() must refuse
+    os.remove(w.config_path)
+    with pytest.raises(FileNotFoundError, match="_config.json"):
+        SegmentedIndexWriter.open(spark, w.index_dir)
+
+    # a genuinely different config against a live sidecar still refuses
+    json.dump(cfg, open(w.config_path, "w"))
+    w4 = SegmentedIndexWriter(spark, w.index_dir)  # default: english
+    with pytest.raises(ValueError, match="config mismatch"):
+        w4.append(spark.createDataFrame(batches[2]))
+
+
 def test_load_gdf_from_sidecar_no_term_window(spark, tmp_path):
     """The load path must NOT shuffle blob rows through a term window:
     gdf comes from summing the per-generation sidecars (term-level
