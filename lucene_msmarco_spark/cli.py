@@ -121,6 +121,16 @@ def load_serving_index(spark: SparkSession, index_dir: str):
     return "rows", load_pipeline_index(spark, index_dir)
 
 
+def load_rows_index(spark: SparkSession, index_dir: str):
+    """Row-level InvertedIndex from ANY index layout: pipeline dirs load
+    directly; compact/writer layouts rehydrate through the distributed
+    blob decode (``CompactIndex.to_inverted_index``). For the commands
+    that need token-level access (qpp term stats, sparse vectors,
+    non-BM25 scoring)."""
+    kind, idx = load_serving_index(spark, index_dir)
+    return idx.to_inverted_index() if kind == "compact" else idx
+
+
 def cmd_index(args) -> None:
     from .streaming.incremental import BuildConfig, IndexBuildPipeline
 
@@ -269,7 +279,7 @@ def cmd_qpp(args) -> None:
     from .sources.readers import read_queries_tsv, read_res
 
     spark = _spark(args)
-    idx = load_pipeline_index(spark, args.index)
+    idx = load_rows_index(spark, args.index)
     queries = read_queries_tsv(spark, args.queries)
     run = read_res(spark, args.res).cache()
     qt = compile_queries(queries, idx.analyzer)
@@ -298,7 +308,7 @@ def cmd_sparsevecs(args) -> None:
     from .sources.writers import sparse_vectors
 
     spark = _spark(args)
-    idx = load_pipeline_index(spark, args.index)
+    idx = load_rows_index(spark, args.index)
     vecs = sparse_vectors(idx, weighting=args.weighting)
     vecs.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"rows": spark.read.parquet(args.out).count()}))

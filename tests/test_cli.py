@@ -295,6 +295,32 @@ def test_cli_guardrails(workdir, capsys, spark):
               "--index", str(d / "nope_idx2"), "--stream"])
 
 
+def test_cli_qpp_sparsevecs_accept_compact_layouts(workdir, capsys):
+    """qpp and sparsevecs rehydrate compact/writer layouts through the
+    distributed blob decode instead of crashing on a missing stage dir."""
+    d, inp = workdir
+    sidx = str(d / "seg_index_q")
+    if not os.path.exists(sidx):
+        main(["ingest", "--input", inp, "--index", sidx])
+        capsys.readouterr()
+
+    res_path = str(d / "run_for_qpp.res")
+    main(["retrieve", "--index", sidx, "--queries",
+          str(d / "queries.tsv"), "--k", "20", "--out", res_path])
+    capsys.readouterr()
+
+    main(["qpp", "--index", sidx, "--queries", str(d / "queries.tsv"),
+          "--res", res_path, "--predictor", "nqc", "--k", "20"])
+    qpp_lines = [json.loads(x)
+                 for x in capsys.readouterr().out.strip().splitlines()]
+    assert {r["qid"] for r in qpp_lines} == {"q1", "q2"}
+
+    vec_dir = str(d / "vecs_from_writer")
+    main(["sparsevecs", "--index", sidx, "--out", vec_dir])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] > 0
+
+
 def test_ann_brute_external_queries_keep_id_collisions(spark):
     """exclude_self=False: an external query table's vec_ids are an
     unrelated id space — a collision must not drop the corpus vector."""
