@@ -195,20 +195,36 @@ def cmd_ingest(args) -> None:
     )
 
     spark = _spark(args)
-    if os.path.exists(os.path.join(args.index, "_config.json")):
-        writer = SegmentedIndexWriter.open(spark, args.index)
+    manifest_path = os.path.join(args.index, "_manifest.jsonl")
+    if os.path.exists(manifest_path) or os.path.exists(
+        os.path.join(args.index, "_config.json")
+    ):
+        # a pipeline build dir also carries _config.json + a manifest,
+        # but its rows are keyed by "stage", not "gen" — appending into
+        # it would corrupt nothing but crash deep in state(); refuse up
+        # front with the right pointer
+        first = ""
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                first = f.readline()
+        if first.strip() and "\"stage\"" in first:
+            raise SystemExit(
+                f"{args.index} is an IndexBuildPipeline output, not a "
+                "SegmentedIndexWriter dir; resume it with `index`, or "
+                "point ingest at a (new or writer) directory"
+            )
+        try:
+            # open() restores the persisted config, or refuses a
+            # pre-sidecar dir rather than guessing the analyzer
+            writer = SegmentedIndexWriter.open(spark, args.index)
+        except FileNotFoundError as e:
+            raise SystemExit(str(e)) from e
         if args.analyzer and args.analyzer != writer.config.analyzer:
             raise SystemExit(
                 f"index {args.index} was built with analyzer "
                 f"{writer.config.analyzer!r}; --analyzer {args.analyzer!r} "
                 "would mix token spaces"
             )
-    elif os.path.exists(os.path.join(args.index, "_manifest.jsonl")):
-        raise SystemExit(
-            f"{args.index} has commits but no _config.json (written "
-            "before config persistence); appending would guess the "
-            "analyzer — rebuild or restore the sidecar by hand"
-        )
     else:
         writer = SegmentedIndexWriter(
             spark, args.index,
@@ -407,8 +423,24 @@ def cmd_ann(args) -> None:
             os.path.join(args.model_dir, "centroids")
         ):
             C, _ = load_ivf_model(spark, args.model_dir)
+            if args.n_lists is not None and args.n_lists != C.shape[0]:
+                # silently using the stored quantizer would ignore a
+                # user-requested recall/partitioning parameter
+                raise SystemExit(
+                    f"--n-lists {args.n_lists} conflicts with the "
+                    f"{C.shape[0]}-list quantizer in {args.model_dir}; "
+                    "omit --n-lists to reuse it, or point --model-dir "
+                    "at a fresh location to refit"
+                )
+            dim = emb.select(F.size("embedding")).first()[0]
+            if dim != C.shape[1]:
+                raise SystemExit(
+                    f"quantizer in {args.model_dir} was fit on "
+                    f"{C.shape[1]}-dim embeddings; this table is "
+                    f"{dim}-dim"
+                )
         if C is None:
-            C = fit_ivf_centroids(emb, args.n_lists)
+            C = fit_ivf_centroids(emb, args.n_lists or 16)
             if args.model_dir:
                 save_ivf_model(spark, C, args.model_dir)
         out = ann_ivf_topk(emb, k=args.k, centroids=C, nprobe=args.nprobe)
@@ -563,7 +595,10 @@ def main(argv: list[str] | None = None) -> None:
     pa.add_argument("--method", default="ivf",
                     choices=["brute", "lsh", "ivf"])
     pa.add_argument("--k", type=int, default=5)
-    pa.add_argument("--n-lists", type=int, default=16)
+    pa.add_argument("--n-lists", type=int, default=None,
+                    help="IVF coarse lists when FITTING (default 16); "
+                         "a loaded --model-dir quantizer fixes this — "
+                         "passing a conflicting value errors")
     pa.add_argument("--nprobe", type=int, default=4)
     pa.add_argument("--model-dir", default=None,
                     help="IVF quantizer persistence dir (fit once, "

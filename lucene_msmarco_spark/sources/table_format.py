@@ -84,8 +84,15 @@ def iceberg_catalogs(spark: SparkSession) -> list[str]:
 
 def is_path_ref(ref: str) -> bool:
     """PATH refs contain a '/' or a URI scheme; bare dotted names are
-    table identifiers."""
-    return "/" in ref or "://" in ref or ref.startswith((".", "~"))
+    table identifiers — UNLESS the name exists on the local filesystem
+    (a bare relative dir like ``batch`` is a path the user can see, and
+    routing it to ``spark.table`` would misreport it as a missing
+    table)."""
+    if "/" in ref or "://" in ref or ref.startswith((".", "~")):
+        return True
+    import os
+
+    return os.path.exists(ref)
 
 
 def _hadoop_path(spark: SparkSession, path: str):

@@ -404,9 +404,15 @@ class MergePolicy:
             )
 
     def tier_of(self, n_docs: int) -> int:
-        import math
-
-        return int(math.log(max(int(n_docs), 1), self.merge_factor))
+        # integer repeated division, not int(math.log(n, mf)): the float
+        # log misbins exact powers (int(log(1000, 10)) == 2), which would
+        # group a 1000-doc generation with 100-999-doc ones and merge
+        # across a 10x size disparity — the exact thing tiering prevents
+        n, t = max(int(n_docs), 1), 0
+        while n >= self.merge_factor:
+            n //= self.merge_factor
+            t += 1
+        return t
 
 
 @dataclass
@@ -519,8 +525,15 @@ class SegmentedIndexWriter:
                     "SegmentedIndexWriter.open() to restore its config"
                 )
             return
-        with open(self.config_path, "w") as f:
+        # atomic: a kill mid-write must not leave a torn sidecar that
+        # bricks every later open() (same discipline as the manifest's
+        # torn-line repair)
+        tmp = self.config_path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(body, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.config_path)
 
     # ---- manifest state --------------------------------------------------
 

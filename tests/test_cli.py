@@ -294,6 +294,41 @@ def test_cli_guardrails(workdir, capsys, spark):
         main(["ingest", "--input", "db.transcripts",
               "--index", str(d / "nope_idx2"), "--stream"])
 
+    # ingest into a pipeline BUILD dir: refuse with a pointer, don't
+    # crash deep in writer.state()
+    with pytest.raises(SystemExit, match="IndexBuildPipeline output"):
+        main(["ingest", "--input", inp, "--index", idx_dir])
+
+    # ann ivf: a loaded quantizer fixes n_lists; conflicting flag errors
+    import numpy as np
+
+    from lucene_msmarco_spark.operators.pipeline import save_ivf_model
+
+    model_dir = str(d / "ivf_guard_model")
+    save_ivf_model(spark, np.eye(4, 8), model_dir)   # 4 lists, 8-dim
+    emb_path = "/root/testdata/sf0.001/embeddings.parquet"
+    with pytest.raises(SystemExit, match="conflicts with the 4-list"):
+        main(["ann", "--embeddings", emb_path, "--method", "ivf",
+              "--n-lists", "64", "--model-dir", model_dir,
+              "--out", str(d / "nope_ann")])
+    # and a dimension mismatch refuses driver-side, not in an executor
+    with pytest.raises(SystemExit, match="8-dim"):
+        main(["ann", "--embeddings", emb_path, "--method", "ivf",
+              "--model-dir", model_dir, "--out", str(d / "nope_ann2")])
+
+
+def test_is_path_ref_bare_existing_dir(tmp_path, monkeypatch):
+    """A bare relative name that exists on disk is a path, not a table
+    identifier; a bare non-existing name stays an identifier."""
+    from lucene_msmarco_spark.sources.table_format import is_path_ref
+
+    (tmp_path / "batch").mkdir()
+    monkeypatch.chdir(tmp_path)
+    assert is_path_ref("batch")
+    assert not is_path_ref("transcripts_tbl")
+    assert is_path_ref("db/batch") and is_path_ref("s3://b/k")
+    assert not is_path_ref("db.transcripts")
+
 
 def test_cli_qpp_sparsevecs_accept_compact_layouts(workdir, capsys):
     """qpp and sparsevecs rehydrate compact/writer layouts through the

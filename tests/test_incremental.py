@@ -610,6 +610,21 @@ def test_merge_policy_rejects_degenerate_factor():
             MergePolicy(merge_factor=bad)
 
 
+def test_merge_policy_tier_exact_powers():
+    """int(math.log(1000, 10)) == 2 would bin a 1000-doc generation one
+    tier LOW, merging it with 100-doc peers (10x size disparity); the
+    integer-division tier must bin exact powers with their own size
+    class."""
+    from lucene_msmarco_spark.streaming.incremental import MergePolicy
+
+    p = MergePolicy(merge_factor=10)
+    for power in (1, 2, 3, 6):
+        n = 10 ** power
+        assert p.tier_of(n) == power
+        assert p.tier_of(n - 1) == power - 1
+    assert MergePolicy(merge_factor=2).tier_of(1024) == 10
+
+
 def test_writer_open_restores_config_and_refuses_legacy(spark, tmp_path):
     """open() restores the persisted BuildConfig; a dir with commits
     but NO _config.json (pre-sidecar) refuses instead of guessing the
