@@ -265,13 +265,16 @@ def encode_postings_segmented(
         n_docs = (
             0 if max_doc is None else int(max_doc) + 1 - int(doc_base)
         )
+    # exact integer range cut: (doc_id - base) div ceil(span / n).
+    # NOT (doc_id - base) * n / span — the long multiplication overflows
+    # int64 once span * n_segments exceeds 2^63 (real for sparse
+    # base-offset id spaces, e.g. IncrementalIngest's batch_id << 40
+    # bases), and float division can be off by one ulp at boundaries.
+    # `div` is Spark SQL's integer division: no product, no floats.
+    width = max(1, -(-max(int(n_docs), 1) // int(n_segments)))
     seg = F.greatest(
         F.least(
-            F.floor(
-                (F.col("doc_id") - F.lit(int(doc_base)))
-                * F.lit(int(n_segments))
-                / F.lit(max(int(n_docs), 1))
-            ),
+            F.expr(f"(doc_id - {int(doc_base)}) div {width}"),
             F.lit(int(n_segments) - 1),
         ),
         F.lit(0),

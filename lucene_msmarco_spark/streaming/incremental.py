@@ -45,6 +45,18 @@ def _sha(obj) -> str:
     ).hexdigest()[:16]
 
 
+def _atomic_write_json(path: str, obj) -> None:
+    """tmp + fsync + rename: a kill mid-write must never leave a torn
+    sidecar that bricks every later load (the kill-safety the module
+    docstring promises)."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
 def input_fingerprint(path: str) -> str:
     """Content-address the input directory by (name, size, mtime) of its
     data files — cheap, no data read."""
@@ -58,8 +70,11 @@ def input_fingerprint(path: str) -> str:
             if f.startswith(("_", ".")):
                 continue
             st = os.stat(os.path.join(root, f))
+            # nanosecond mtime: truncating to whole seconds would let a
+            # same-size rewrite within one second keep the fingerprint,
+            # and resume would silently serve the stale index
             entries.append((os.path.relpath(os.path.join(root, f), path),
-                            st.st_size, int(st.st_mtime)))
+                            st.st_size, st.st_mtime_ns))
     return _sha(entries)
 
 
@@ -164,8 +179,10 @@ class IndexBuildPipeline:
         # later load_pipeline_index can restore analyzer etc. — the
         # manifest rows alone only carry config_hash
         os.makedirs(self.out_dir, exist_ok=True)
-        with open(os.path.join(self.out_dir, "_config.json"), "w") as f:
-            json.dump(dict(self.config.__dict__, config_hash=ch), f)
+        _atomic_write_json(
+            os.path.join(self.out_dir, "_config.json"),
+            dict(self.config.__dict__, config_hash=ch),
+        )
 
         def stage(name: str, fn) -> None:
             if resume and self._is_done(name, fp, ch):
@@ -266,13 +283,13 @@ class IncrementalIngest:
         batches = {"n": 0}
 
         def handle(batch_df: DataFrame, batch_id: int) -> None:
-            if batch_df.rdd.isEmpty():
+            if batch_df.isEmpty():
                 return
-            docs = assign_doc_ids(batch_df, ["conv_id", "turn_idx"])
+            base = assign_doc_ids(batch_df, ["conv_id", "turn_idx"])
             # segment-local doc ids are offset by a per-segment base so
             # ids stay globally unique (base = batch_id << 40; at
             # 10^12-turn scale the base would come from a sequencer table)
-            docs = docs.withColumn(
+            docs = base.withColumn(
                 "doc_id",
                 (F.col("doc_id") + F.lit(int(batch_id) << 40)).cast("long"),
             )
@@ -288,6 +305,10 @@ class IncrementalIngest:
             seg.write.mode("overwrite").parquet(
                 os.path.join(self.segments_dir, f"segment={batch_id}")
             )
+            # assign_doc_ids eagerly persists its output; release it or
+            # a long backfill accumulates one cached doc store PER
+            # micro-batch in executor storage memory
+            base.unpersist()
             batches["n"] += 1
 
         q = (
@@ -325,6 +346,21 @@ class IncrementalIngest:
         Zipf-head term's entire posting list in one task; at corpus
         scale prefer the default or ``SegmentedIndexWriter``.
         """
+        import glob as _glob
+
+        if not _glob.glob(os.path.join(self.segments_dir, "segment=*")):
+            # no segment was ever ingested (empty landing day): produce
+            # an empty global table instead of a PATH_NOT_FOUND crash
+            from ..operators.postings import encode_postings_segmented
+
+            empty = self.spark.createDataFrame(
+                [], "term string, doc_id long, tf int, doclen int"
+            )
+            merged = encode_postings_segmented(
+                empty, self.config.block_size, 1, n_docs=0
+            )
+            merged.write.mode("overwrite").parquet(self.global_dir)
+            return self.spark.read.parquet(self.global_dir)
         if layout == "segmented":
             from ..operators.postings import (
                 derive_n_segments,
@@ -525,15 +561,7 @@ class SegmentedIndexWriter:
                     "SegmentedIndexWriter.open() to restore its config"
                 )
             return
-        # atomic: a kill mid-write must not leave a torn sidecar that
-        # bricks every later open() (same discipline as the manifest's
-        # torn-line repair)
-        tmp = self.config_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(body, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self.config_path)
+        _atomic_write_json(self.config_path, body)
 
     # ---- manifest state --------------------------------------------------
 
@@ -623,7 +651,23 @@ class SegmentedIndexWriter:
             return
         keep = len(data)
         if not data.endswith(b"\n"):
-            keep = data.rfind(b"\n") + 1
+            last = data.rfind(b"\n") + 1
+            try:
+                json.loads(data[last:])
+            except json.JSONDecodeError:
+                keep = last
+            else:
+                # the final line is COMPLETE json, only its newline is
+                # missing (kill between write and flush boundary).
+                # _entries() already honors it as committed — state()
+                # counted its docs and a replayed batch deduped against
+                # it — so truncating here would erase a committed
+                # generation and free its doc-id range for reuse
+                # (duplicate ids across live segments). Finish the line
+                # instead.
+                with open(p, "ab") as f:
+                    f.write(b"\n")
+                return
         else:
             last = data[:-1].rfind(b"\n") + 1  # start of final line
             try:
@@ -647,7 +691,6 @@ class SegmentedIndexWriter:
         """Content address of a batch: order-independent xxhash over all
         columns + row count. One cheap aggregate, no driver collect of
         data."""
-        cols = ", ".join(batch_df.columns)
         row = batch_df.agg(
             F.count(F.lit(1)).alias("n"),
             # order-independent combine of the per-row hashes. SUM over
@@ -658,8 +701,16 @@ class SegmentedIndexWriter:
             # at-least-once transcript feeds). Plain bigint sum is out
             # too — ANSI mode overflows on full-range xxhash64 values;
             # decimal(38,0) holds ~10^38, enough for 10^18 rows.
+            # Per-row hash goes through to_json(struct(*)), NOT
+            # xxhash64(c1, ..., cn): Spark's multi-arg xxhash64 passes
+            # the running seed through UNCHANGED on a NULL input, so a
+            # value shifting between adjacent same-typed nullable
+            # columns (text <-> tool) would hash identically and the
+            # differing batch would be dropped as a duplicate. JSON
+            # keys pin each value to its column.
             F.expr(
-                f"sum(cast(xxhash64({cols}) as decimal(38,0)))"
+                "sum(cast(xxhash64(to_json(struct(*))) "
+                "as decimal(38,0)))"
             ).alias("h"),
         ).collect()[0]
         h = int(row["h"] or 0) % (1 << 128)
@@ -830,6 +881,18 @@ class SegmentedIndexWriter:
             "completed_at": time.time(),
         }
         self._commit(entry)
+        # reclaim the replaced generations' storage (Lucene deletes
+        # merged-away segments): nothing reads a dead generation again
+        # (load/compact walk the LIVE manifest list only), so removal
+        # after the commit is safe; best-effort — a kill mid-delete
+        # leaves orphans that the next compact's sweep below retries
+        import shutil
+
+        for e2 in self._entries():
+            if e2["gen"] in {e["gen"] for e in self.state()["live"]}:
+                continue
+            for d in (self._gen_dir(e2["gen"]), self._gdf_dir(e2["gen"])):
+                shutil.rmtree(d, ignore_errors=True)
         return entry
 
     def maybe_compact(
@@ -965,7 +1028,10 @@ def stream_append(
     """
     policy = merge_policy
     if policy is None and compact_every:
-        policy = MergePolicy(merge_factor=int(compact_every))
+        # compact_every=1 used to mean "full merge after every batch";
+        # the nearest tiered policy is the most eager valid factor (2),
+        # not a crash at stream setup
+        policy = MergePolicy(merge_factor=max(2, int(compact_every)))
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -602,6 +602,117 @@ def test_maybe_compact_noop_below_threshold(spark, tmp_path):
     assert len(w.state()["live"]) == 1
 
 
+def test_repair_preserves_committed_line_missing_newline(spark, tmp_path):
+    """A kill between the manifest write and the newline leaves a
+    COMPLETE json final line with no trailing \\n. _entries() honors it
+    as committed (docs counted, replays deduped), so repair must finish
+    the line, not truncate it — truncation would erase a committed
+    generation and free its doc-id range for reuse."""
+    w, pdf, batches = _writer_fixture(spark, tmp_path)
+    w.append(spark.createDataFrame(batches[0]))
+    w.append(spark.createDataFrame(batches[1]))
+    with open(w.manifest_path, "rb") as f:
+        data = f.read()
+    assert data.endswith(b"\n")
+    with open(w.manifest_path, "wb") as f:
+        f.write(data[:-1])  # simulate the kill: newline never landed
+    docs_before = w.state()["n_docs"]
+    w.append(spark.createDataFrame(batches[2]))  # triggers repair
+    st = w.state()
+    assert st["n_docs"] == docs_before + len(batches[2])
+    assert len(st["live"]) == 3  # nothing erased
+    # and the repaired manifest parses clean line by line
+    with open(w.manifest_path) as f:
+        assert all(json.loads(ln) for ln in f if ln.strip())
+
+
+def test_fingerprint_distinguishes_null_column_shift(spark, tmp_path):
+    """xxhash64(c1..cn) passes its seed through on NULL inputs, so a
+    value shifting between adjacent nullable columns must still change
+    the batch fingerprint (else the second batch is silently dropped)."""
+    from lucene_msmarco_spark.streaming.incremental import (
+        SegmentedIndexWriter,
+    )
+
+    w = SegmentedIndexWriter(spark, str(tmp_path / "fpnull"))
+    schema = "conv_id string, turn_idx int, text string, tool string"
+    b1 = spark.createDataFrame([("c", 0, "x", None)], schema)
+    b2 = spark.createDataFrame([("c", 0, None, "x")], schema)
+    assert w._fingerprint(b1) != w._fingerprint(b2)
+
+
+def test_segment_cut_survives_sparse_id_spans(spark):
+    """(doc_id - base) * n_segments overflowed int64 for sparse
+    base-offset id spaces (batch_id << 40 from the third batch on); the
+    integer-division cut must bucket them exactly."""
+    from lucene_msmarco_spark.operators.postings import (
+        derive_n_segments,
+        encode_postings_segmented,
+    )
+
+    ids = [0, 1, (1 << 40), (1 << 40) + 1, (2 << 40), (2 << 40) + 5]
+    span = (2 << 40) + 6
+    tokens = spark.createDataFrame(
+        [("t", i, 1, 3) for i in ids],
+        "term string, doc_id long, tf int, doclen int",
+    )
+    n_seg = derive_n_segments(span)  # ~8.4M segments of 262144 docs
+    seg = encode_postings_segmented(
+        tokens, n_segments=n_seg, n_docs=span, with_gdf=False
+    ).toPandas()
+    assert (seg["segment"] >= 0).all()
+    assert (seg["segment"] < n_seg).all()
+    # ids 2^40 apart land in far-apart segments; same-block ids share
+    got = sorted(seg["segment"].unique())
+    assert len(got) == 3
+
+
+def test_compact_reclaims_dead_generation_dirs(spark, tmp_path):
+    """Merged-away generations' seg-*/gdf-* dirs are deleted (Lucene
+    deletes merged segments); the live ones survive and the loaded
+    index still answers identically to a full rebuild."""
+    import os as _os
+
+    w, pdf, batches = _writer_fixture(spark, tmp_path)
+    for b in batches:
+        w.append(spark.createDataFrame(b))
+    entry = w.compact()
+    assert entry is not None
+    for g in entry["replaces"]:
+        assert not _os.path.exists(w._gen_dir(g))
+        assert not _os.path.exists(w._gdf_dir(g))
+    assert _os.path.exists(w._gen_dir(entry["gen"]))
+    _assert_same_run(
+        _bmw_run(spark, w.load()),
+        _bmw_run(spark, _full_rebuild(spark, pdf)),
+    )
+
+
+def test_merge_segments_empty_source(spark, tmp_path):
+    """merge before any ingest (empty landing day) yields an empty
+    global table, not PATH_NOT_FOUND."""
+    ing = IncrementalIngest(spark, str(tmp_path / "in"),
+                            str(tmp_path / "work"))
+    merged = ing.merge_segments()
+    assert merged.count() == 0
+
+
+def test_input_fingerprint_subsecond_rewrite(tmp_path):
+    """A same-size rewrite with a different sub-second mtime must change
+    the fingerprint (whole-second truncation would let resume serve a
+    stale index)."""
+    d = tmp_path / "inp"
+    d.mkdir()
+    f = d / "part-0.parquet"
+    f.write_bytes(b"aaaa")
+    t = 1_700_000_000
+    os.utime(f, ns=(t * 10**9 + 111, t * 10**9 + 111))
+    f1 = input_fingerprint(str(d))
+    f.write_bytes(b"bbbb")  # same size
+    os.utime(f, ns=(t * 10**9 + 222, t * 10**9 + 222))
+    assert input_fingerprint(str(d)) != f1
+
+
 def test_merge_policy_rejects_degenerate_factor():
     from lucene_msmarco_spark.streaming.incremental import MergePolicy
 
