@@ -504,9 +504,12 @@ def cmd_split(args) -> None:
     docs = read_table(spark, args.input)
     out = hash_split(docs, weights, salt=args.salt)
     write_table(out, args.out, partition_by=["split"])
+    # count off the WRITTEN table (parquet footers), not the split
+    # plan, which would re-hash the entire input a second time just to
+    # print counts (same rationale as cmd_dedup)
     counts = {
         r["split"]: r["n"]
-        for r in out.groupBy("split")
+        for r in read_table(spark, args.out).groupBy("split")
         .agg(F.count(F.lit(1)).alias("n")).collect()
     }
     print(json.dumps({"counts": counts, "out": args.out}))

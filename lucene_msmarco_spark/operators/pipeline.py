@@ -483,14 +483,21 @@ def ann_lsh_topk(
     embeddings: DataFrame, k: int = 5, n_bits: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",
     query_filter=None, n_tables: int = 4, seed: int = LSH_SEED,
-    multiprobe: int = 0,
+    multiprobe: int = 0, rank_round: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k over multi-table random-hyperplane LSH
     buckets: candidates are vector pairs sharing ANY table's bucket
     (union across tables, deduplicated before the exact cosine), plus
     multi-probe expansion on the query side when ``multiprobe`` > 0.
     ``query_filter``: optional Column restricting which vectors act as
-    queries. Output: (qvec, nvec, rank, sim)."""
+    queries. Output: (qvec, nvec, rank, sim).
+
+    ``rank_round``: None (default) ranks on the raw cosine (tie-break
+    nvec) — the same total order as ``ann_brute_topk``, so baseline-vs-
+    approximate comparisons never disagree on a near-tie from rounding.
+    The contract tests pass 6 to mirror their SQL oracle's
+    ``round(sim, 6)`` order exactly (the same opt-in device as
+    ``rank_round`` in topk/search/bmw_search)."""
     b = lsh_bucket(embeddings, n_bits, id_col, vec_col,
                    n_tables=n_tables, seed=seed)
     if multiprobe > 0:
@@ -516,12 +523,9 @@ def ann_lsh_topk(
     sims = pairs.select(
         "qvec", "nvec", _cos(F.col("qemb"), F.col("nemb")).alias("sim")
     )
-    # rank on round(sim, 6) (tie nvec) — the SQL oracle's exact order, so
-    # two candidates agreeing to 6 decimals but differing in summation-
-    # order ulps cannot rank differently between operator and oracle
-    w = Window.partitionBy("qvec").orderBy(
-        F.desc(F.round("sim", 6)), F.asc("nvec")
-    )
+    rank_on = (F.col("sim") if rank_round is None
+               else F.round("sim", int(rank_round)))
+    w = Window.partitionBy("qvec").orderBy(F.desc(rank_on), F.asc("nvec"))
     return (
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -635,6 +639,7 @@ def ann_ivf_topk(
     centroids: np.ndarray | None = None,
     id_col: str = "vec_id", vec_col: str = "embedding",
     query_filter=None, seed: int = LSH_SEED,
+    rank_round: int | None = None,
 ) -> DataFrame:
     """IVF approximate cosine top-k — the second scale path next to LSH:
     every vector routes to its single nearest coarse-centroid list (the
@@ -673,10 +678,11 @@ def ann_ivf_topk(
     sims = pairs.select(
         "qvec", "nvec", _cos(F.col("qemb"), F.col("nemb")).alias("sim")
     )
-    # round(sim, 6) rank order mirrors the SQL oracle (see ann_lsh_topk)
-    w = Window.partitionBy("qvec").orderBy(
-        F.desc(F.round("sim", 6)), F.asc("nvec")
-    )
+    # rank_round: same opt-in oracle-order device as ann_lsh_topk —
+    # default raw-sim order matches the ann_brute_topk baseline
+    rank_on = (F.col("sim") if rank_round is None
+               else F.round("sim", int(rank_round)))
+    w = Window.partitionBy("qvec").orderBy(F.desc(rank_on), F.asc("nvec"))
     return (
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -186,17 +186,35 @@ def _permutation(
     if permute == "md5":
         import hashlib
 
+        ids = [_doc_sort_key(d) for d in docs]
         keys = [
             hashlib.md5(
-                f"{seed}:{sample}:{qid}:{int(d)}".encode()
+                f"{seed}:{sample}:{qid}:{d}".encode()
             ).hexdigest()
-            for d in docs
+            for d in ids
         ]
         return np.asarray(
-            sorted(range(n), key=lambda i: (keys[i], int(docs[i]))),
+            sorted(range(n), key=lambda i: (keys[i], ids[i])),
             dtype=np.int64,
         )
     raise ValueError(f"unknown permute mode {permute!r}")
+
+
+def _doc_sort_key(d):
+    """Canonical doc-id key for the md5 permutation: integer ids (the
+    synthetic fixtures' long column) keep their numeric form — same
+    hash text and numeric tie-break as always — while any other id
+    (real TREC runs carry string ids like ``msmarco_doc_00_0``) uses
+    its string form instead of crashing on ``int(d)``. Ids are
+    homogeneous within a run, so the tie-break sort never compares
+    int to str."""
+    if isinstance(d, (int, np.integer)):
+        return int(d)
+    s = str(d)
+    try:
+        return int(s)
+    except ValueError:
+        return s
 
 
 def sampled_runs(
@@ -222,9 +240,14 @@ def sampled_runs(
             outs.append(sub[["qid", "sample", "doc_id", "rank", "score"]])
         return pd.concat(outs, ignore_index=True)
 
+    # doc_id keeps the INPUT run's type: read_res yields string ids
+    # (real TREC runs are alphanumeric), the synthetic fixtures long —
+    # a hard-coded long here would reject every real res file
+    doc_t = run.schema["doc_id"].dataType.simpleString()
     return run.groupBy("qid").applyInPandas(
         one,
-        schema="qid string, sample int, doc_id long, rank int, score double",
+        schema=f"qid string, sample int, doc_id {doc_t}, rank int,"
+               " score double",
     )
 
 

@@ -78,10 +78,14 @@ def swap_permutations(
         }
         return pd.DataFrame(rows)
 
+    # doc_id keeps the input run's type (read_res yields string ids;
+    # the synthetic fixtures long) — the swap kernels are type-generic
+    doc_t = filled_run.schema["doc_id"].dataType.simpleString()
     return filled_run.groupBy("qid").applyInPandas(
         one,
         schema=(
-            "qid string, perm_id int, doc_id long, rank int, score double"
+            f"qid string, perm_id int, doc_id {doc_t}, rank int,"
+            " score double"
         ),
     )
 
@@ -150,10 +154,12 @@ def sample_swapped_runs(
             }))
         return pd.concat(outs, ignore_index=True)
 
+    doc_t = filled_run.schema["doc_id"].dataType.simpleString()
     return filled_run.groupBy("qid").applyInPandas(
         one,
         schema=(
-            "qid string, sample int, doc_id long, rank int, score double"
+            f"qid string, sample int, doc_id {doc_t}, rank int,"
+            " score double"
         ),
     )
 
@@ -198,10 +204,12 @@ def shuffled_runs(
             }))
         return pd.concat(outs, ignore_index=True)
 
+    doc_t = filled_run.schema["doc_id"].dataType.simpleString()
     return filled_run.groupBy("qid").applyInPandas(
         one,
         schema=(
-            "qid string, sample int, doc_id long, rank int, score double"
+            f"qid string, sample int, doc_id {doc_t}, rank int,"
+            " score double"
         ),
     )
 

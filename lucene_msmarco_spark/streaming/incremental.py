@@ -707,10 +707,15 @@ class SegmentedIndexWriter:
             # value shifting between adjacent same-typed nullable
             # columns (text <-> tool) would hash identically and the
             # differing batch would be dropped as a duplicate. JSON
-            # keys pin each value to its column.
+            # keys pin each value to its column. timeZone is pinned to
+            # UTC: to_json renders timestamps in the SESSION timezone,
+            # so without it the same batch fingerprints differently on
+            # a driver configured with another spark.sql.session.
+            # timeZone and an at-least-once replay after such a restart
+            # would re-append (duplicate) every row instead of no-oping.
             F.expr(
-                "sum(cast(xxhash64(to_json(struct(*))) "
-                "as decimal(38,0)))"
+                "sum(cast(xxhash64(to_json(struct(*), "
+                "map('timeZone', 'UTC'))) as decimal(38,0)))"
             ).alias("h"),
         ).collect()[0]
         h = int(row["h"] or 0) % (1 << 128)
@@ -888,8 +893,13 @@ class SegmentedIndexWriter:
         # leaves orphans that the next compact's sweep below retries
         import shutil
 
+        # the live-gen set is computed ONCE: state() re-reads and
+        # re-parses the whole manifest, so evaluating it per entry
+        # would make each compaction O(manifest_len^2) file reads on
+        # the synchronous foreachBatch path
+        live_gens = {e["gen"] for e in self.state()["live"]}
         for e2 in self._entries():
-            if e2["gen"] in {e["gen"] for e in self.state()["live"]}:
+            if e2["gen"] in live_gens:
                 continue
             for d in (self._gen_dir(e2["gen"]), self._gdf_dir(e2["gen"])):
                 shutil.rmtree(d, ignore_errors=True)

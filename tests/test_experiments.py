@@ -260,3 +260,33 @@ def test_qpp_estimates_dispatch(ctx):
 
     with pytest.raises(KeyError):
         qpp_estimates("nope", idx, run, qterms)
+
+
+def test_stochastic_swappers_string_doc_ids(spark):
+    """The H5/H6 swap kernels are type-generic; the declared output
+    schemas must follow the input run's doc_id type so string-id runs
+    (read_res on real TREC files) pass through unchanged."""
+    from lucene_msmarco_spark.operators.stochastic import (
+        sample_swapped_runs,
+        shuffled_runs,
+        swap_permutations,
+    )
+
+    run = spark.createDataFrame(
+        [("q1", f"D{i}", i + 1, 10.0 - i, 1 if i == 0 else 0)
+         for i in range(4)],
+        "qid string, doc_id string, rank int, score double, rel int",
+    )
+    perms = swap_permutations(run).toPandas()
+    assert perms["doc_id"].map(lambda d: isinstance(d, str)).all()
+    # identity perm 0 preserves the original order
+    p0 = perms[perms["perm_id"] == 0].sort_values("rank")
+    assert p0["doc_id"].tolist() == [f"D{i}" for i in range(4)]
+    for fn in (
+        lambda: sample_swapped_runs(run, num_samples=2),
+        lambda: sample_swapped_runs(run, num_samples=2, permute="md5"),
+        lambda: shuffled_runs(run, num_samples=2, num_shuffles=3),
+    ):
+        out = fn().toPandas()
+        assert out["doc_id"].map(lambda d: isinstance(d, str)).all()
+        assert set(out["doc_id"]) == {f"D{i}" for i in range(4)}

@@ -823,3 +823,37 @@ def test_load_falls_back_to_window_for_old_manifests(spark, tmp_path):
     plan = compact.postings._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
     assert compact.postings.count() > 0
+
+
+def test_fingerprint_timezone_independent(spark, tmp_path):
+    """to_json renders timestamps in the SESSION timezone, so the batch
+    content-address pins timeZone=UTC: without it, an at-least-once
+    replay after a driver restart under a different
+    spark.sql.session.timeZone would fingerprint the same batch
+    differently and re-append (duplicate) every row instead of
+    no-oping."""
+    from lucene_msmarco_spark.streaming.incremental import (
+        SegmentedIndexWriter,
+    )
+
+    w = SegmentedIndexWriter(spark, str(tmp_path / "fp_tz"))
+    # a fixed INSTANT (epoch seconds — timezone-independent), not a
+    # parsed local time, so only the fingerprint's rendering varies
+    # with the session config
+    df = spark.range(1).select(
+        F.lit("x").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("t").alias("text"),
+        F.timestamp_seconds(F.lit(1767323045)).alias("ts"),
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        f_utc = w._fingerprint(df)
+        spark.conf.set(
+            "spark.sql.session.timeZone", "America/Los_Angeles"
+        )
+        f_la = w._fingerprint(df)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert f_utc == f_la

@@ -96,8 +96,10 @@ def test_ann_brute_matches_sql(spark, embeddings):
 def test_ann_lsh_matches_sql_and_is_subset_of_bucketmates(
     spark, embeddings
 ):
+    # rank_round=6 mirrors the oracle's round(sim, 6) order; the
+    # production default ranks on the raw cosine like ann_brute_topk
     api = P.ann_lsh_topk(
-        embeddings, k=5, query_filter=F.col("qvec") < 20
+        embeddings, k=5, query_filter=F.col("qvec") < 20, rank_round=6
     ).orderBy("qvec", "rank").toPandas()
     sql = _sql(spark, "ann_lsh_topk").toPandas()
     assert api["qvec"].tolist() == sql["qvec"].tolist()
@@ -145,7 +147,7 @@ def test_ann_ivf_matches_sql(spark, embeddings):
     # equals the oracle-checked SQL form (same inlined centroids) exactly
     api = P.ann_ivf_topk(
         embeddings, k=5, centroids=P.ivf_centroids(64, 16),
-        query_filter=F.col("qvec") < 20,
+        query_filter=F.col("qvec") < 20, rank_round=6,
     ).orderBy("qvec", "rank").toPandas()
     sql = _sql(spark, "ann_ivf_topk").toPandas()
     assert api["qvec"].tolist() == sql["qvec"].tolist()

@@ -351,3 +351,48 @@ def test_rsd_md5_mode_deterministic(ctx):
     # estimate — the two modes share everything except the shuffle
     rng = {r["qid"]: r["rsd"] for r in Q.rsd(run, idf, k=50).collect()}
     assert set(rng) == set(a)
+
+
+def test_sampled_runs_string_doc_ids(spark):
+    """read_res yields STRING doc ids (real TREC runs are alphanumeric,
+    e.g. msmarco_doc_00_0) — both permute modes must sample such runs
+    instead of crashing on int(doc_id), and the output keeps the input
+    id type."""
+    rows = [
+        (q, f"msmarco_doc_{i:02d}", i + 1, 10.0 - i)
+        for q in ("q1", "q2") for i in range(6)
+    ]
+    run = spark.createDataFrame(
+        rows, "qid string, doc_id string, rank int, score double"
+    )
+    ids = {r[1] for r in rows}
+    for mode in ("rng", "md5"):
+        out = Q.sampled_runs(
+            run, num_samples=2, sample_size=4, permute=mode
+        ).toPandas()
+        assert out["doc_id"].map(lambda d: isinstance(d, str)).all()
+        for (_, _), g in out.groupby(["qid", "sample"]):
+            assert len(g) == 4
+            assert set(g["doc_id"]) <= ids
+            assert sorted(g["rank"]) == [1, 2, 3, 4]
+    # the md5 order is deterministic for string ids too
+    a = Q.sampled_runs(run, 2, 4, permute="md5").toPandas()
+    b = Q.sampled_runs(run, 2, 4, permute="md5").toPandas()
+    key = ["qid", "sample", "rank"]
+    assert a.sort_values(key)["doc_id"].tolist() == \
+        b.sort_values(key)["doc_id"].tolist()
+    # integer-like STRING ids keep the numeric md5 rendering and
+    # tie-break, so a string-typed res of numeric ids samples
+    # identically to the long-typed fixture form
+    long_run = spark.createDataFrame(
+        [("q1", i, i + 1, 10.0 - i) for i in range(6)],
+        "qid string, doc_id long, rank int, score double",
+    )
+    str_run = spark.createDataFrame(
+        [("q1", str(i), i + 1, 10.0 - i) for i in range(6)],
+        "qid string, doc_id string, rank int, score double",
+    )
+    sl = Q.sampled_runs(long_run, 2, 4, permute="md5").toPandas()
+    ss = Q.sampled_runs(str_run, 2, 4, permute="md5").toPandas()
+    assert sl.sort_values(key)["doc_id"].astype(str).tolist() == \
+        ss.sort_values(key)["doc_id"].tolist()
