@@ -2898,6 +2898,60 @@ def _register_views(spark: SparkSession, sf_dir: str) -> None:
             spark.read.parquet(p).createOrReplaceTempView(t)
 
 
+def _bmw_fixture(spark: SparkSession, sf_dir: str):
+    """Shared preamble of the operator-backed contract rows: the sf
+    documents table, a simple-analyzer row-level index, its 4-segment
+    compact form, the canonical QUERYSET frame, and its compiled
+    terms. ONE definition — every SQL twin renders the same docs/
+    index/queryset CTEs, so the fixture must not be able to drift
+    between rows. Returns (docs, idx, compact, qdf, qt)."""
+    from .operators.index import build_index
+    from .operators.postings import CompactIndex
+    from .operators.retrieval import compile_queries
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = build_index(docs, analyzer="simple", cache=False)
+    compact = CompactIndex.from_index(idx, n_segments=4)
+    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
+    qt = compile_queries(qdf, "simple")
+    return docs, idx, compact, qdf, qt
+
+
+def _fixture_run(compact, qt, k: int) -> DataFrame:
+    """The canonical Block-Max run of the operator-backed rows:
+    ``rank_round=4`` (the oracle's own total order applied inside the
+    scatter-gather selection) projected to the RUN-CTE shape
+    (qid, doc_id, rank, round(score, 4))."""
+    from pyspark.sql import functions as F
+
+    from .operators.postings import bmw_search
+
+    return bmw_search(compact, qt, k=k, rank_round=4).select(
+        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
+    )
+
+
+def _synthetic_qrels(docs: DataFrame, qdf: DataFrame) -> DataFrame:
+    """The contract rows' shared deterministic qrels: rel = 3/2/1 when
+    (doc_id + qnum) % 10 == 0/1/2, else unjudged — the exact formula
+    the SQL twins inline as their QRELS CTE, defined once so the
+    operator rows and their oracles cannot drift."""
+    from pyspark.sql import functions as F
+
+    m = (F.col("doc_id") + F.substring("qid", 2, 10).cast("int")) % 10
+    return (
+        docs.select("doc_id").crossJoin(qdf.select("qid"))
+        .withColumn(
+            "rel",
+            F.when(m == 0, 3).when(m == 1, 2).when(m == 2, 1).otherwise(0),
+        )
+        .filter(F.col("rel") > 0)
+        .select("qid", "doc_id", "rel")
+    )
+
+
 def _bmw_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-postings contract: delta+varint encode the simple-
     analyzer index into doc-range segments and answer the QUERYSET with
@@ -2909,17 +2963,9 @@ def _bmw_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank; ADVICE r3 #1)."""
     from pyspark.sql import functions as F
 
-    from .operators.index import build_index
-    from .operators.postings import CompactIndex, bmw_search
-    from .operators.retrieval import compile_queries
+    from .operators.postings import bmw_search
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
-    idx = build_index(docs, analyzer="simple", cache=False)
-    compact = CompactIndex.from_index(idx, n_segments=4)
-    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
-    qt = compile_queries(qdf, "simple")
+    docs, idx, compact, qdf, qt = _bmw_fixture(spark, sf_dir)
     run = bmw_search(compact, qt, k=10, rank_round=4)
     return run.select(
         "qid", "doc_id",
@@ -3071,21 +3117,10 @@ def _qpp_rsd_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     had only pytest coverage."""
     from pyspark.sql import functions as F
 
-    from .operators.index import build_index
-    from .operators.postings import CompactIndex, bmw_search
     from .operators.qpp import query_idf_stats, rsd
-    from .operators.retrieval import compile_queries
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
-    idx = build_index(docs, analyzer="simple", cache=False)
-    compact = CompactIndex.from_index(idx, n_segments=4)
-    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
-    qt = compile_queries(qdf, "simple")
-    run = bmw_search(compact, qt, k=100, rank_round=4).select(
-        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
-    )
+    docs, idx, compact, qdf, qt = _bmw_fixture(spark, sf_dir)
+    run = _fixture_run(compact, qt, k=100)
     stats = query_idf_stats(qt, idx.term_stats, idx.stats.n_docs)
     out = rsd(
         run, stats, k=50, num_samples=10, sample_size=20,
@@ -3112,21 +3147,10 @@ def _qpp_uef_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     the NQC base flips this row."""
     from pyspark.sql import functions as F
 
-    from .operators.index import build_index
-    from .operators.postings import CompactIndex, bmw_search
     from .operators.qpp import nqc, query_idf_stats, uef
-    from .operators.retrieval import compile_queries
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
-    idx = build_index(docs, analyzer="simple", cache=False)
-    compact = CompactIndex.from_index(idx, n_segments=4)
-    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
-    qt = compile_queries(qdf, "simple")
-    run = bmw_search(compact, qt, k=100, rank_round=4).select(
-        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
-    )
+    docs, idx, compact, qdf, qt = _bmw_fixture(spark, sf_dir)
+    run = _fixture_run(compact, qt, k=100)
     stats = query_idf_stats(qt, idx.term_stats, idx.stats.n_docs)
     base = nqc(run, stats, k=50)
     out = uef(
@@ -3157,20 +3181,9 @@ def _fdbk_kl_rerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         rm_conditional_weights,
         top_docs_term_stats,
     )
-    from .operators.index import build_index
-    from .operators.postings import CompactIndex, bmw_search
-    from .operators.retrieval import compile_queries
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
-    idx = build_index(docs, analyzer="simple", cache=False)
-    compact = CompactIndex.from_index(idx, n_segments=4)
-    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
-    qt = compile_queries(qdf, "simple")
-    run = bmw_search(compact, qt, k=100, rank_round=4).select(
-        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
-    )
+    docs, idx, compact, qdf, qt = _bmw_fixture(spark, sf_dir)
+    run = _fixture_run(compact, qt, k=100)
     stats = top_docs_term_stats(idx, run, num_top_docs=20)
     wts = rm_conditional_weights(stats)
     reranked = kl_div_rerank(stats, wts, run, rank_round=6)
@@ -3195,20 +3208,9 @@ def _fdbk_rm1_expand_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         rm1_iid_weights,
         top_docs_term_stats,
     )
-    from .operators.index import build_index
-    from .operators.postings import CompactIndex, bmw_search
-    from .operators.retrieval import compile_queries
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
-    idx = build_index(docs, analyzer="simple", cache=False)
-    compact = CompactIndex.from_index(idx, n_segments=4)
-    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
-    qt = compile_queries(qdf, "simple")
-    run = bmw_search(compact, qt, k=100, rank_round=4).select(
-        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
-    )
+    docs, idx, compact, qdf, qt = _bmw_fixture(spark, sf_dir)
+    run = _fixture_run(compact, qt, k=100)
     stats = top_docs_term_stats(idx, run, num_top_docs=20)
     wts = rm1_iid_weights(stats, qt)
     expanded = rlm_expand_query(idx, stats, wts, qt, rank_round=6)
@@ -3224,21 +3226,10 @@ def _qpp_cumnqc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the mult weighting on the last in-range prefix)."""
     from pyspark.sql import functions as F
 
-    from .operators.index import build_index
-    from .operators.postings import CompactIndex, bmw_search
     from .operators.qpp import cumulative_nqc, query_idf_stats
-    from .operators.retrieval import compile_queries
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
-    idx = build_index(docs, analyzer="simple", cache=False)
-    compact = CompactIndex.from_index(idx, n_segments=4)
-    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
-    qt = compile_queries(qdf, "simple")
-    run = bmw_search(compact, qt, k=100, rank_round=4).select(
-        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
-    )
+    docs, idx, compact, qdf, qt = _bmw_fixture(spark, sf_dir)
+    run = _fixture_run(compact, qt, k=100)
     stats = query_idf_stats(qt, idx.term_stats, idx.stats.n_docs)
     out = cumulative_nqc(run, stats, k=50)
     return out.select(
@@ -3258,31 +3249,11 @@ def _srlm_rerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from .operators.feedback import lm_doc_vectors
-    from .operators.index import build_index
-    from .operators.postings import CompactIndex, bmw_search
-    from .operators.retrieval import compile_queries
     from .operators.srlm import srlm_fit, srlm_rerank
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
-    idx = build_index(docs, analyzer="simple", cache=False)
-    compact = CompactIndex.from_index(idx, n_segments=4)
-    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
-    qt = compile_queries(qdf, "simple")
-    run = bmw_search(compact, qt, k=100, rank_round=4).select(
-        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
-    )
-    m = (F.col("doc_id") + F.substring("qid", 2, 10).cast("int")) % 10
-    qrels = (
-        docs.select("doc_id").crossJoin(qdf.select("qid"))
-        .withColumn(
-            "rel",
-            F.when(m == 0, 3).when(m == 1, 2).when(m == 2, 1).otherwise(0),
-        )
-        .filter(F.col("rel") > 0)
-        .select("qid", "doc_id", "rel")
-    )
+    docs, idx, compact, qdf, qt = _bmw_fixture(spark, sf_dir)
+    run = _fixture_run(compact, qt, k=100)
+    qrels = _synthetic_qrels(docs, qdf)
     vecs = lm_doc_vectors(idx)
     model = srlm_fit(vecs, qdf, qrels, num_top_terms=5, rank_round=6)
     reranked = srlm_rerank(run, qdf, model, vecs, rank_round=6)
@@ -3304,21 +3275,12 @@ def _qpp_variant_spec_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from .operators.correlation import jaccard_overlap_df
-    from .operators.index import build_index
-    from .operators.postings import CompactIndex, bmw_search
+    from .operators.postings import bmw_search
     from .operators.qpp import nqc, query_idf_stats, variant_specificity
     from .operators.retrieval import compile_queries
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
-    idx = build_index(docs, analyzer="simple", cache=False)
-    compact = CompactIndex.from_index(idx, n_segments=4)
-    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
-    qt = compile_queries(qdf, "simple")
-    base_run = bmw_search(compact, qt, k=100, rank_round=4).select(
-        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
-    )
+    docs, idx, compact, qdf, qt = _bmw_fixture(spark, sf_dir)
+    base_run = _fixture_run(compact, qt, k=100)
     stats = query_idf_stats(qt, idx.term_stats, idx.stats.n_docs)
     base_nqc = nqc(base_run, stats, k=50)
     refs = None
@@ -3354,34 +3316,13 @@ def _stoch_swap_perms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     mechanics that the seeded samplers (H5 sample/shuffle, H7) build
     on: scores stay attached to ranks, docs move, identity included,
     rank 1 always swappable, (r, nr) enumeration order."""
-    from pyspark.sql import functions as F
 
     from .operators.eval import fill_rel
-    from .operators.index import build_index
-    from .operators.postings import CompactIndex, bmw_search
-    from .operators.retrieval import compile_queries
     from .operators.stochastic import swap_permutations
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
-    idx = build_index(docs, analyzer="simple", cache=False)
-    compact = CompactIndex.from_index(idx, n_segments=4)
-    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
-    qt = compile_queries(qdf, "simple")
-    run = bmw_search(compact, qt, k=10, rank_round=4).select(
-        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
-    )
-    m = (F.col("doc_id") + F.substring("qid", 2, 10).cast("int")) % 10
-    qrels = (
-        docs.select("doc_id").crossJoin(qdf.select("qid"))
-        .withColumn(
-            "rel",
-            F.when(m == 0, 3).when(m == 1, 2).when(m == 2, 1).otherwise(0),
-        )
-        .filter(F.col("rel") > 0)
-        .select("qid", "doc_id", "rel")
-    )
+    docs, idx, compact, qdf, qt = _bmw_fixture(spark, sf_dir)
+    run = _fixture_run(compact, qt, k=10)
+    qrels = _synthetic_qrels(docs, qdf)
     filled = fill_rel(run, qrels)
     perms = swap_permutations(filled, top_doc_always_swapped=True,
                               min_rel=1)
@@ -3408,16 +3349,7 @@ def _lmdir_mu_sweep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = build_index(docs, analyzer="simple", cache=False)
     qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
     # the synthetic qrels of QRELS_CTE, rendered as DataFrame ops
-    m = (F.col("doc_id") + F.substring("qid", 2, 10).cast("int")) % 10
-    qrels = (
-        docs.select("doc_id").crossJoin(qdf.select("qid"))
-        .withColumn(
-            "rel",
-            F.when(m == 0, 3).when(m == 1, 2).when(m == 2, 1).otherwise(0),
-        )
-        .filter(F.col("rel") > 0)
-        .select("qid", "doc_id", "rel")
-    )
+    qrels = _synthetic_qrels(docs, qdf)
     res = mu_sweep(idx, qdf, qrels, k=100, rank_round=4)
     rows = [
         (mu, s["map"], s["p_at_5"], s["ndcg_100"], s["recall_quirk"])
@@ -3495,32 +3427,12 @@ def _qpp_eval_corr_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators.correlation import kendall_tau, pearson_r, spearman_rho
     from .operators.eval import per_query_metrics
-    from .operators.index import build_index
-    from .operators.postings import CompactIndex, bmw_search
     from .operators.qpp import nqc, query_idf_stats
-    from .operators.retrieval import compile_queries
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
-    idx = build_index(docs, analyzer="simple", cache=False)
-    compact = CompactIndex.from_index(idx, n_segments=4)
-    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
-    qt = compile_queries(qdf, "simple")
-    run = bmw_search(compact, qt, k=100, rank_round=4).select(
-        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
-    )
+    docs, idx, compact, qdf, qt = _bmw_fixture(spark, sf_dir)
+    run = _fixture_run(compact, qt, k=100)
     # the synthetic qrels of QRELS_CTE, rendered as DataFrame ops
-    m = (F.col("doc_id") + F.substring("qid", 2, 10).cast("int")) % 10
-    qrels = (
-        docs.select("doc_id").crossJoin(qdf.select("qid"))
-        .withColumn(
-            "rel",
-            F.when(m == 0, 3).when(m == 1, 2).when(m == 2, 1).otherwise(0),
-        )
-        .filter(F.col("rel") > 0)
-        .select("qid", "doc_id", "rel")
-    )
+    qrels = _synthetic_qrels(docs, qdf)
     metrics = per_query_metrics(run, qrels)
     stats = query_idf_stats(qt, idx.term_stats, idx.stats.n_docs)
     est = nqc(run, stats, k=50)
@@ -3593,31 +3505,11 @@ def _qpp_corr_pack_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         sare,
     )
     from .operators.eval import per_query_metrics
-    from .operators.index import build_index
-    from .operators.postings import CompactIndex, bmw_search
     from .operators.qpp import nqc, query_idf_stats
-    from .operators.retrieval import compile_queries
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
-    idx = build_index(docs, analyzer="simple", cache=False)
-    compact = CompactIndex.from_index(idx, n_segments=4)
-    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
-    qt = compile_queries(qdf, "simple")
-    run = bmw_search(compact, qt, k=100, rank_round=4).select(
-        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
-    )
-    m = (F.col("doc_id") + F.substring("qid", 2, 10).cast("int")) % 10
-    qrels = (
-        docs.select("doc_id").crossJoin(qdf.select("qid"))
-        .withColumn(
-            "rel",
-            F.when(m == 0, 3).when(m == 1, 2).when(m == 2, 1).otherwise(0),
-        )
-        .filter(F.col("rel") > 0)
-        .select("qid", "doc_id", "rel")
-    )
+    docs, idx, compact, qdf, qt = _bmw_fixture(spark, sf_dir)
+    run = _fixture_run(compact, qt, k=100)
+    qrels = _synthetic_qrels(docs, qdf)
     metrics = per_query_metrics(run, qrels)
     stats = query_idf_stats(qt, idx.term_stats, idx.stats.n_docs)
     est = nqc(run, stats, k=50)
@@ -3658,21 +3550,12 @@ def _qpp_lambda_grid_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.correlation import jaccard_overlap_df
     from .operators.eval import per_query_metrics
     from .operators.experiments import grid_search_lambda
-    from .operators.index import build_index
-    from .operators.postings import CompactIndex, bmw_search
+    from .operators.postings import bmw_search
     from .operators.qpp import nqc, query_idf_stats
     from .operators.retrieval import compile_queries
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
-    idx = build_index(docs, analyzer="simple", cache=False)
-    compact = CompactIndex.from_index(idx, n_segments=4)
-    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
-    qt = compile_queries(qdf, "simple")
-    run = bmw_search(compact, qt, k=100, rank_round=4).select(
-        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
-    )
+    docs, idx, compact, qdf, qt = _bmw_fixture(spark, sf_dir)
+    run = _fixture_run(compact, qt, k=100)
     stats = query_idf_stats(qt, idx.term_stats, idx.stats.n_docs)
     base_nqc = nqc(run, stats, k=50).select(
         "qid", F.round("nqc", 6).alias("nqc")
@@ -3696,16 +3579,7 @@ def _qpp_lambda_grid_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("nqc"), 6).alias("est"),
         )
         refs = r if refs is None else refs.unionByName(r)
-    m = (F.col("doc_id") + F.substring("qid", 2, 10).cast("int")) % 10
-    qrels = (
-        docs.select("doc_id").crossJoin(qdf.select("qid"))
-        .withColumn(
-            "rel",
-            F.when(m == 0, 3).when(m == 1, 2).when(m == 2, 1).otherwise(0),
-        )
-        .filter(F.col("rel") > 0)
-        .select("qid", "doc_id", "rel")
-    )
+    qrels = _synthetic_qrels(docs, qdf)
     metrics = per_query_metrics(run, qrels).select(
         "qid", F.round("ap", 4).alias("ap")
     )
@@ -3785,30 +3659,10 @@ def _eval_fairness_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from .operators.eval import fairness_combined, per_query_metrics
-    from .operators.index import build_index
-    from .operators.postings import CompactIndex, bmw_search
-    from .operators.retrieval import compile_queries
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
-    idx = build_index(docs, analyzer="simple", cache=False)
-    compact = CompactIndex.from_index(idx, n_segments=4)
-    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
-    qt = compile_queries(qdf, "simple")
-    run = bmw_search(compact, qt, k=100, rank_round=4).select(
-        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
-    )
-    m = (F.col("doc_id") + F.substring("qid", 2, 10).cast("int")) % 10
-    qrels = (
-        docs.select("doc_id").crossJoin(qdf.select("qid"))
-        .withColumn(
-            "rel",
-            F.when(m == 0, 3).when(m == 1, 2).when(m == 2, 1).otherwise(0),
-        )
-        .filter(F.col("rel") > 0)
-        .select("qid", "doc_id", "rel")
-    )
+    docs, idx, compact, qdf, qt = _bmw_fixture(spark, sf_dir)
+    run = _fixture_run(compact, qt, k=100)
+    qrels = _synthetic_qrels(docs, qdf)
     pre = per_query_metrics(run, qrels).select(
         "qid",
         F.round("ndcg", 4).alias("ndcg"),
@@ -3844,33 +3698,12 @@ def _qpp_stoch_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the contract device) make both engines correlate identical
     doubles; the sampled swap itself is value-pinned through the
     argmin-md5 pick shared with the twin."""
-    from pyspark.sql import functions as F
 
     from .operators.experiments import stochastic_qpp_evaluation
-    from .operators.index import build_index
-    from .operators.postings import CompactIndex, bmw_search
-    from .operators.retrieval import compile_queries
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
-    idx = build_index(docs, analyzer="simple", cache=False)
-    compact = CompactIndex.from_index(idx, n_segments=4)
-    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
-    qt = compile_queries(qdf, "simple")
-    run = bmw_search(compact, qt, k=10, rank_round=4).select(
-        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
-    )
-    m = (F.col("doc_id") + F.substring("qid", 2, 10).cast("int")) % 10
-    qrels = (
-        docs.select("doc_id").crossJoin(qdf.select("qid"))
-        .withColumn(
-            "rel",
-            F.when(m == 0, 3).when(m == 1, 2).when(m == 2, 1).otherwise(0),
-        )
-        .filter(F.col("rel") > 0)
-        .select("qid", "doc_id", "rel")
-    )
+    docs, idx, compact, qdf, qt = _bmw_fixture(spark, sf_dir)
+    run = _fixture_run(compact, qt, k=10)
+    qrels = _synthetic_qrels(docs, qdf)
     res = stochastic_qpp_evaluation(
         idx, qdf, qrels, run, num_samples=5, seed=31415, qpp_k=50,
         permute="md5", metric_round=4, est_round=6,
@@ -3892,8 +3725,7 @@ def _qpp_corel_spec_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from .operators.correlation import jaccard_overlap_df
-    from .operators.index import build_index
-    from .operators.postings import CompactIndex, bmw_search
+    from .operators.postings import bmw_search
     from .operators.qpp import (
         corel_specificity,
         nqc,
@@ -3902,16 +3734,8 @@ def _qpp_corel_spec_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .operators.retrieval import compile_queries
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
-    idx = build_index(docs, analyzer="simple", cache=False)
-    compact = CompactIndex.from_index(idx, n_segments=4)
-    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
-    qt = compile_queries(qdf, "simple")
-    run = bmw_search(compact, qt, k=100, rank_round=4).select(
-        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
-    )
+    docs, idx, compact, qdf, qt = _bmw_fixture(spark, sf_dir)
+    run = _fixture_run(compact, qt, k=100)
     stats = query_idf_stats(qt, idx.term_stats, idx.stats.n_docs)
     base_nqc = nqc(run, stats, k=50)
     refs = None
@@ -3935,16 +3759,7 @@ def _qpp_corel_spec_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid", F.round("est", 6).alias("est")
     )
     # the synthetic qrels of QRELS_CTE, rendered as DataFrame ops
-    m = (F.col("doc_id") + F.substring("qid", 2, 10).cast("int")) % 10
-    qrels = (
-        docs.select("doc_id").crossJoin(qdf.select("qid"))
-        .withColumn(
-            "rel",
-            F.when(m == 0, 3).when(m == 1, 2).when(m == 2, 1).otherwise(0),
-        )
-        .filter(F.col("rel") > 0)
-        .select("qid", "doc_id", "rel")
-    )
+    qrels = _synthetic_qrels(docs, qdf)
     w = Window.partitionBy("qid").orderBy("doc_id")
     rdocs = (
         qrels.withColumn("j", F.row_number().over(w))
@@ -3990,21 +3805,10 @@ def _stoch_attr_perms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``build_sql("stoch_attr_perms")``."""
     from pyspark.sql import functions as F
 
-    from .operators.index import build_index
-    from .operators.postings import CompactIndex, bmw_search
-    from .operators.retrieval import compile_queries
     from .operators.stochastic import swap_permutations
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
-    idx = build_index(docs, analyzer="simple", cache=False)
-    compact = CompactIndex.from_index(idx, n_segments=4)
-    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
-    qt = compile_queries(qdf, "simple")
-    run = bmw_search(compact, qt, k=10, rank_round=4).select(
-        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
-    )
+    docs, idx, compact, qdf, qt = _bmw_fixture(spark, sf_dir)
+    run = _fixture_run(compact, qt, k=10)
     attrs = docs.select(
         "doc_id", (F.col("doc_id") % 2).cast("int").alias("attr")
     )
@@ -4073,17 +3877,9 @@ def _fdbk_term_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from .operators.feedback import top_docs_term_stats
-    from .operators.index import build_index
-    from .operators.postings import CompactIndex, bmw_search
-    from .operators.retrieval import compile_queries
+    from .operators.postings import bmw_search
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
-    idx = build_index(docs, analyzer="simple", cache=False)
-    compact = CompactIndex.from_index(idx, n_segments=4)
-    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
-    qt = compile_queries(qdf, "simple")
+    docs, idx, compact, qdf, qt = _bmw_fixture(spark, sf_dir)
     run = bmw_search(compact, qt, k=10, rank_round=4)
     stats = top_docs_term_stats(idx, run, num_top_docs=10)
     return stats.term_stats.select(
@@ -4129,19 +3925,11 @@ def _trec_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    from .operators.index import build_index
-    from .operators.postings import CompactIndex, bmw_search
-    from .operators.retrieval import compile_queries
+    from .operators.postings import bmw_search
     from .sources.readers import read_res
     from .sources.writers import write_trec_run
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
-    idx = build_index(docs, analyzer="simple", cache=False)
-    compact = CompactIndex.from_index(idx, n_segments=4)
-    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
-    qt = compile_queries(qdf, "simple")
+    docs, idx, compact, qdf, qt = _bmw_fixture(spark, sf_dir)
     run = bmw_search(compact, qt, k=10, rank_round=4).select(
         "qid", "doc_id",
         F.col("rank").cast("int").alias("rank"),
@@ -4360,18 +4148,10 @@ def _fewshot_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    from .operators.index import build_index
-    from .operators.postings import CompactIndex, bmw_search
-    from .operators.retrieval import compile_queries
+    from .operators.postings import bmw_search
     from .sources.writers import fewshot_json
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
-    idx = build_index(docs, analyzer="simple", cache=False)
-    compact = CompactIndex.from_index(idx, n_segments=4)
-    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
-    qt = compile_queries(qdf, "simple")
+    docs, idx, compact, qdf, qt = _bmw_fixture(spark, sf_dir)
     run = bmw_search(compact, qt, k=10, rank_round=4).select(
         "qid", "doc_id", F.col("rank").cast("int").alias("rank")
     )
@@ -4491,31 +4271,11 @@ def _corr_polyfit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators.correlation import polynomial_fit
     from .operators.eval import per_query_metrics
-    from .operators.index import build_index
-    from .operators.postings import CompactIndex, bmw_search
     from .operators.qpp import nqc, query_idf_stats
-    from .operators.retrieval import compile_queries
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
-    idx = build_index(docs, analyzer="simple", cache=False)
-    compact = CompactIndex.from_index(idx, n_segments=4)
-    qdf = spark.createDataFrame(QUERYSET, "qid string, qtext string")
-    qt = compile_queries(qdf, "simple")
-    run = bmw_search(compact, qt, k=100, rank_round=4).select(
-        "qid", "doc_id", "rank", F.round("score", 4).alias("score")
-    )
-    m = (F.col("doc_id") + F.substring("qid", 2, 10).cast("int")) % 10
-    qrels = (
-        docs.select("doc_id").crossJoin(qdf.select("qid"))
-        .withColumn(
-            "rel",
-            F.when(m == 0, 3).when(m == 1, 2).when(m == 2, 1).otherwise(0),
-        )
-        .filter(F.col("rel") > 0)
-        .select("qid", "doc_id", "rel")
-    )
+    docs, idx, compact, qdf, qt = _bmw_fixture(spark, sf_dir)
+    run = _fixture_run(compact, qt, k=100)
+    qrels = _synthetic_qrels(docs, qdf)
     metrics = per_query_metrics(run, qrels)
     stats = query_idf_stats(qt, idx.term_stats, idx.stats.n_docs)
     est = nqc(run, stats, k=50)
