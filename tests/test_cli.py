@@ -413,3 +413,37 @@ def test_cli_dedup_and_split(workdir, capsys, spark):
     assert sorted(
         r["split"] for r in back.select("split").distinct().collect()
     ) == ["holdout", "train"]
+
+
+def test_cli_ingest_stream_backfill(workdir, capsys, spark):
+    """ingest --stream: Structured-Streaming backfill of a parquet
+    landing dir (availableNow drain), one generation per micro-batch
+    plus the tiered merge — and a re-run over the same checkpoint is a
+    no-op (exactly-once). The engine path has its own 16-case suite in
+    test_incremental.py; this pins the CLI wiring (readStream schema,
+    checkpoint dir, merge policy plumbing)."""
+    d, inp = workdir
+    sidx = str(d / "stream_index")
+    landing = str(d / "stream_landing")
+    spark.read.parquet(inp).write.mode("overwrite").parquet(landing)
+
+    main(["ingest", "--input", landing, "--index", sidx, "--stream",
+          "--merge-factor", "2"])
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["n_docs"] == 200
+    assert out1["live_generations"] >= 1
+
+    # drained source + same checkpoint: nothing new to ingest
+    main(["ingest", "--input", landing, "--index", sidx, "--stream",
+          "--merge-factor", "2"])
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["n_docs"] == 200
+    assert out2["next_gen"] == out1["next_gen"]
+
+    # the streamed index serves through the auto-detected BMW path
+    res_path = str(d / "run_stream.res")
+    main(["retrieve", "--index", sidx, "--queries",
+          str(d / "queries.tsv"), "--model", "bm25", "--k", "10",
+          "--out", res_path])
+    out3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out3["engine"] == "bmw" and out3["queries"] == 2
