@@ -131,6 +131,24 @@ def load_rows_index(spark: SparkSession, index_dir: str):
     return idx.to_inverted_index() if kind == "compact" else idx
 
 
+def _open_serving(spark: SparkSession, index_dir: str):
+    """CLI-facing load_serving_index: curated diagnostics (the writer's
+    pre-sidecar / fingerprint-version refusals) exit cleanly instead of
+    dumping a stack trace — the same operator experience `ingest`
+    already gives for the identical conditions."""
+    try:
+        return load_serving_index(spark, index_dir)
+    except (FileNotFoundError, ValueError) as e:
+        raise SystemExit(str(e)) from e
+
+
+def _open_rows(spark: SparkSession, index_dir: str):
+    try:
+        return load_rows_index(spark, index_dir)
+    except (FileNotFoundError, ValueError) as e:
+        raise SystemExit(str(e)) from e
+
+
 def cmd_index(args) -> None:
     from .streaming.incremental import BuildConfig, IndexBuildPipeline
 
@@ -154,7 +172,7 @@ def cmd_retrieve(args) -> None:
     from .sources.writers import write_trec_run
 
     spark = _spark(args)
-    kind, idx = load_serving_index(spark, args.index)
+    kind, idx = _open_serving(spark, args.index)
     queries = read_queries_tsv(spark, args.queries)
     engine = "bmw" if kind == "compact" and args.model == "bm25" else "rows"
     if engine == "bmw":
@@ -214,10 +232,11 @@ def cmd_ingest(args) -> None:
                 "point ingest at a (new or writer) directory"
             )
         try:
-            # open() restores the persisted config, or refuses a
-            # pre-sidecar dir rather than guessing the analyzer
+            # open() restores the persisted config, or refuses: a
+            # pre-sidecar dir (no analyzer guessing), a pipeline build
+            # dir's config, or a fingerprint-format mismatch
             writer = SegmentedIndexWriter.open(spark, args.index)
-        except FileNotFoundError as e:
+        except (FileNotFoundError, ValueError) as e:
             raise SystemExit(str(e)) from e
         if args.analyzer and args.analyzer != writer.config.analyzer:
             raise SystemExit(
@@ -295,7 +314,7 @@ def cmd_qpp(args) -> None:
     from .sources.readers import read_queries_tsv, read_res
 
     spark = _spark(args)
-    idx = load_rows_index(spark, args.index)
+    idx = _open_rows(spark, args.index)
     queries = read_queries_tsv(spark, args.queries)
     run = read_res(spark, args.res).cache()
     qt = compile_queries(queries, idx.analyzer)
@@ -324,7 +343,7 @@ def cmd_sparsevecs(args) -> None:
     from .sources.writers import sparse_vectors
 
     spark = _spark(args)
-    idx = load_rows_index(spark, args.index)
+    idx = _open_rows(spark, args.index)
     vecs = sparse_vectors(idx, weighting=args.weighting)
     vecs.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"rows": spark.read.parquet(args.out).count()}))
@@ -342,7 +361,7 @@ def cmd_compact(args) -> None:
     Block-Max path."""
     spark = _spark(args)
     if args.out:
-        kind, idx = load_serving_index(spark, args.index)
+        kind, idx = _open_serving(spark, args.index)
         if kind == "rows":
             from .operators.postings import CompactIndex
 
@@ -365,7 +384,10 @@ def cmd_compact(args) -> None:
                 "merge — use --out to export this index as a serving "
                 "artifact instead"
             )
-        writer = SegmentedIndexWriter.open(spark, args.index)
+        try:
+            writer = SegmentedIndexWriter.open(spark, args.index)
+        except (FileNotFoundError, ValueError) as e:
+            raise SystemExit(str(e)) from e
         entry = writer.compact()
         st = writer.state()
         print(json.dumps({
@@ -442,7 +464,16 @@ def cmd_ann(args) -> None:
         if C is None:
             C = fit_ivf_centroids(emb, args.n_lists or 16)
             if args.model_dir:
-                save_ivf_model(spark, C, args.model_dir)
+                # record fit-time assignment quality: without it,
+                # refresh_ivf_model's drift check compares the current
+                # quality against ITSELF and never refits
+                from .operators.pipeline import ivf_assignment_quality
+
+                q0 = ivf_assignment_quality(emb, C)
+                save_ivf_model(
+                    spark, C, args.model_dir,
+                    extra_meta={"quality": q0},
+                )
         out = ann_ivf_topk(emb, k=args.k, centroids=C, nprobe=args.nprobe)
     else:
         raise SystemExit(f"unknown ann method {args.method}")
@@ -466,11 +497,23 @@ def cmd_dedup(args) -> None:
     from .sources.table_format import read_table, write_table
 
     spark = _spark(args)
+    if args.method != "jaccard" and args.min_jaccard is not None:
+        # minhash gates candidates by its band S-curve, not a Jaccard
+        # cutoff; silently ignoring the flag would make the user
+        # believe the groups are similarity-gated when they are not
+        raise SystemExit(
+            "--min-jaccard only applies to --method jaccard "
+            "(minhash thresholds via its LSH banding)"
+        )
     docs = read_table(spark, args.input).select("doc_id", "text")
     if args.method == "minhash":
         pairs = minhash_lsh_pairs(docs)
     elif args.method == "jaccard":
-        pairs = ngram_jaccard_pairs(docs, min_jaccard=args.min_jaccard)
+        pairs = ngram_jaccard_pairs(
+            docs,
+            min_jaccard=0.5 if args.min_jaccard is None
+            else args.min_jaccard,
+        )
     else:
         raise SystemExit(f"unknown dedup method {args.method}")
     groups = dedup_groups(pairs)
@@ -617,7 +660,9 @@ def main(argv: list[str] | None = None) -> None:
     pd_.add_argument("--out", required=True)
     pd_.add_argument("--method", default="minhash",
                      choices=["minhash", "jaccard"])
-    pd_.add_argument("--min-jaccard", type=float, default=0.5)
+    pd_.add_argument("--min-jaccard", type=float, default=None,
+                     help="jaccard method's pair cutoff (default 0.5); "
+                          "rejected with --method minhash")
     pd_.set_defaults(fn=cmd_dedup)
 
     pt = sub.add_parser(

@@ -712,11 +712,12 @@ def save_ivf_model(
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "centroids")
     )
+    from ..fsutil import read_jsonl_tolerant
+
+    # generation = count of WHOLE manifest entries: a torn final line
+    # (kill mid-append) neither counts nor bricks the store
     mpath = os.path.join(path, "_ivf_manifest.jsonl")
-    gen = 0
-    if os.path.exists(mpath):
-        with open(mpath) as f:
-            gen = sum(1 for ln in f if ln.strip())
+    gen = len(read_jsonl_tolerant(mpath))
     entry = {
         "generation": gen, "n_lists": int(C.shape[0]),
         "dim": int(C.shape[1]), "seed": int(seed),
@@ -732,7 +733,6 @@ def load_ivf_model(spark, path: str) -> tuple[np.ndarray, dict]:
     manifest entry). The centroid table is list_id-ordered so the array
     layout round-trips exactly (``save -> load -> ann_ivf_topk`` must
     reproduce the fitted quantizer's results bit-for-bit)."""
-    import json
     import os
 
     rows = (
@@ -740,13 +740,15 @@ def load_ivf_model(spark, path: str) -> tuple[np.ndarray, dict]:
         .orderBy("list_id").collect()
     )
     C = np.asarray([r["centroid"] for r in rows], dtype=np.float64)
-    meta: dict = {}
-    mpath = os.path.join(path, "_ivf_manifest.jsonl")
-    if os.path.exists(mpath):
-        with open(mpath) as f:
-            for ln in f:
-                if ln.strip():
-                    meta = json.loads(ln)
+    from ..fsutil import read_jsonl_tolerant
+
+    # tolerate a torn final manifest line (kill mid-save): the
+    # centroids table is overwrite-atomic via parquet _SUCCESS, so the
+    # last WHOLE entry always describes a complete quantizer
+    entries = read_jsonl_tolerant(
+        os.path.join(path, "_ivf_manifest.jsonl")
+    )
+    meta: dict = entries[-1] if entries else {}
     return C, meta
 
 

@@ -636,20 +636,24 @@ class CompactIndex:
     def save(self, path: str) -> None:
         """Persist as a parquet postings table + a stats sidecar — the
         shippable index artifact (Iceberg table + snapshot props on a
-        real deployment)."""
-        import json
+        real deployment). The sidecar write is atomic (tmp + rename):
+        load() keys layout detection on _stats.json, so a kill
+        mid-export must leave either no sidecar (incomplete artifact,
+        detectable) or a whole one — never a torn JSON that bricks
+        every later retrieve."""
         import os
+
+        from ..fsutil import atomic_write_json
 
         self.postings.write.mode("overwrite").parquet(
             os.path.join(path, "postings")
         )
-        with open(os.path.join(path, "_stats.json"), "w") as f:
-            json.dump({
-                "n_docs": self.stats.n_docs,
-                "avgdl": self.stats.avgdl,
-                "total_cf": self.stats.total_cf,
-                "analyzer": self.analyzer,
-            }, f)
+        atomic_write_json(os.path.join(path, "_stats.json"), {
+            "n_docs": self.stats.n_docs,
+            "avgdl": self.stats.avgdl,
+            "total_cf": self.stats.total_cf,
+            "analyzer": self.analyzer,
+        })
 
     @classmethod
     def load(cls, spark, path: str) -> "CompactIndex":

@@ -33,28 +33,26 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..fsutil import atomic_write_json as _atomic_write_json
 from ..operators.index import assign_doc_ids, build_index
 from ..operators.postings import encode_postings
 
 STAGES = ("doc_ids", "tokens_tf", "doc_stats", "term_stats", "postings")
+
+# Batch-fingerprint format version. Bump whenever _fingerprint's hash
+# text changes (v2 = xxhash64 over to_json(struct(*), timeZone=UTC);
+# v1 = the earlier positional-column forms): idempotent-append dedup
+# compares fingerprints against the dir's committed manifest entries,
+# so a format change makes every old entry unmatchable and an
+# at-least-once replay would silently re-append (duplicate) its batch.
+# open() refuses a dir committed under another version instead.
+FP_VERSION = 2
 
 
 def _sha(obj) -> str:
     return hashlib.sha256(
         json.dumps(obj, sort_keys=True, default=str).encode()
     ).hexdigest()[:16]
-
-
-def _atomic_write_json(path: str, obj) -> None:
-    """tmp + fsync + rename: a kill mid-write must never leave a torn
-    sidecar that bricks every later load (the kill-safety the module
-    docstring promises)."""
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(obj, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
 
 
 def input_fingerprint(path: str) -> str:
@@ -532,13 +530,44 @@ class SegmentedIndexWriter:
             return cls(spark, index_dir)
         with open(p) as f:
             raw = json.load(f)
+        if "keys" not in raw and "config_hash" in raw:
+            # an IndexBuildPipeline _config.json (stage-keyed build
+            # dir), not a writer sidecar: appending generations here
+            # would interleave gen rows into the pipeline's manifest —
+            # a later `index` resume crashes on the op rows and
+            # retrieve would auto-detect seg-* and silently serve ONLY
+            # the appended batch, dropping the pipeline's corpus
+            raise ValueError(
+                f"{index_dir} is an IndexBuildPipeline build dir "
+                "(its _config.json carries config_hash, no writer "
+                "keys); resume it with IndexBuildPipeline / the "
+                "`index` command, or point the writer at a different "
+                "directory"
+            )
         keys = tuple(raw.pop("keys", ("conv_id", "turn_idx")))
         raw.pop("config_hash", None)
+        stored_fp = raw.pop("fp_version", None)
         cfg = BuildConfig(**{
             k: v for k, v in raw.items()
             if k in BuildConfig.__dataclass_fields__
         })
-        return cls(spark, index_dir, cfg, keys=keys)
+        w = cls(spark, index_dir, cfg, keys=keys)
+        if stored_fp != FP_VERSION and any(
+            "batch" in e for e in w._entries()
+        ):
+            # committed appends carry fingerprints in the OLD format
+            # (missing field = pre-versioning, i.e. v1): the current
+            # binary's fingerprints can never match them, so the
+            # idempotent-replay dedup would silently re-append every
+            # replayed batch — refuse rather than duplicate
+            raise ValueError(
+                f"{index_dir} was committed under batch-fingerprint "
+                f"format v{stored_fp or 1}; this binary computes "
+                f"v{FP_VERSION}, so replay deduplication cannot see "
+                "the existing entries. Re-ingest into a fresh dir (or "
+                "export the index via compact and continue there)"
+            )
+        return w
 
     def _persist_config(self) -> None:
         """Write the ``_config.json`` sidecar (idempotent; guards a
@@ -548,7 +577,8 @@ class SegmentedIndexWriter:
         added or removed across engine versions must not brick an
         otherwise-matching index (read-tolerance and write-tolerance
         stay symmetric)."""
-        body = dict(self.config.__dict__, keys=list(self.keys))
+        body = dict(self.config.__dict__, keys=list(self.keys),
+                    fp_version=FP_VERSION)
         if os.path.exists(self.config_path):
             with open(self.config_path) as f:
                 prior = json.load(f)

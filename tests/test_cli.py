@@ -244,6 +244,12 @@ def test_cli_ann(workdir, capsys, spark):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["rows"] > 0
     assert os.path.exists(os.path.join(model_dir, "centroids"))
+    # fit-time quality is recorded so refresh_ivf_model's drift check
+    # has a baseline to compare against (not itself)
+    from lucene_msmarco_spark.operators.pipeline import load_ivf_model
+
+    _, meta = load_ivf_model(spark, model_dir)
+    assert meta.get("quality", 0) > 0
     res1 = {(r["qvec"], r["rank"]): r["nvec"]
             for r in spark.read.parquet(out_dir).collect()}
 
@@ -447,3 +453,102 @@ def test_cli_ingest_stream_backfill(workdir, capsys, spark):
           "--out", res_path])
     out3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out3["engine"] == "bmw" and out3["queries"] == 2
+
+
+def test_cli_guardrails_round3(workdir, capsys, spark, tmp_path):
+    """Round-5 review guardrails: (a) ingest refuses a pipeline build
+    dir even when the kill landed before the first stage commit
+    (_config.json present, manifest absent); (b) dedup rejects a
+    --min-jaccard that minhash would silently ignore; (c) retrieve and
+    compact exit cleanly (no stack trace) on a pre-sidecar writer
+    dir."""
+    d, inp = workdir
+
+    # (a) pipeline-shaped config (config_hash, no writer keys), no
+    # manifest yet — exactly what a build killed in stage 1 leaves
+    broken = tmp_path / "killed_pipeline"
+    broken.mkdir()
+    (broken / "_config.json").write_text(
+        json.dumps({"analyzer": "english", "config_hash": "deadbeef"})
+    )
+    with pytest.raises(SystemExit) as ei:
+        main(["ingest", "--input", inp, "--index", str(broken)])
+    assert "IndexBuildPipeline" in str(ei.value)
+    capsys.readouterr()
+
+    # (b) --min-jaccard with minhash: refused, not silently ignored
+    with pytest.raises(SystemExit) as ei:
+        main(["dedup", "--input", inp, "--method", "minhash",
+              "--min-jaccard", "0.9", "--out", str(tmp_path / "dd")])
+    assert "min-jaccard" in str(ei.value)
+    capsys.readouterr()
+
+    # (c) a writer dir predating the config sidecar: curated refusal
+    # from retrieve/compact, same as ingest (no raw traceback)
+    pre = tmp_path / "pre_sidecar"
+    (pre / "seg-0").mkdir(parents=True)
+    (pre / "_manifest.jsonl").write_text(
+        json.dumps({"op": "append", "gen": 0, "batch": "0-abc",
+                    "n_docs": 1}) + "\n"
+    )
+    for argv in (
+        ["retrieve", "--index", str(pre), "--queries",
+         str(d / "queries.tsv"), "--out", str(tmp_path / "r.res")],
+        ["compact", "--index", str(pre), "--out", str(tmp_path / "a")],
+    ):
+        with pytest.raises(SystemExit) as ei:
+            main(argv)
+        assert "_config.json" in str(ei.value)
+        capsys.readouterr()
+
+
+def test_fingerprint_version_gate(spark, tmp_path):
+    """A writer dir committed under an older batch-fingerprint format
+    must refuse open(): the current binary's fingerprints can never
+    match the manifest's, so replay dedup would silently duplicate
+    every re-delivered batch."""
+    import re
+
+    from lucene_msmarco_spark.sources.transcripts import (
+        generate_transcripts,
+    )
+    from lucene_msmarco_spark.streaming.incremental import (
+        SegmentedIndexWriter,
+    )
+
+    idx = str(tmp_path / "fpv")
+    w = SegmentedIndexWriter(spark, idx)
+    w.append(generate_transcripts(spark, 50, seed=7))
+    # current-format dir reopens fine
+    assert SegmentedIndexWriter.open(spark, idx).state()["n_docs"] == 50
+
+    # simulate a pre-versioning dir: drop the fp_version field
+    cfg_path = os.path.join(idx, "_config.json")
+    cfg = json.load(open(cfg_path))
+    cfg.pop("fp_version")
+    json.dump(cfg, open(cfg_path, "w"))
+    with pytest.raises(ValueError, match="fingerprint format"):
+        SegmentedIndexWriter.open(spark, idx)
+
+
+def test_ivf_manifest_tolerates_torn_tail(spark, tmp_path):
+    """A kill mid-append can tear the IVF manifest's final line; load
+    must serve the last WHOLE entry and the next save must number its
+    generation by whole entries only."""
+    import numpy as np
+
+    from lucene_msmarco_spark.operators.pipeline import (
+        load_ivf_model,
+        save_ivf_model,
+    )
+
+    path = str(tmp_path / "ivf_torn")
+    save_ivf_model(spark, np.eye(4, 8), path,
+                   extra_meta={"quality": 0.5})
+    mpath = os.path.join(path, "_ivf_manifest.jsonl")
+    with open(mpath, "a") as f:
+        f.write('{"generation": 1, "n_lis')  # torn mid-append
+    C, meta = load_ivf_model(spark, path)
+    assert meta["generation"] == 0 and meta["quality"] == 0.5
+    entry = save_ivf_model(spark, np.eye(4, 8), path)
+    assert entry["generation"] == 1
