@@ -3033,6 +3033,64 @@ def _incremental_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _stream_hourly_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-analytics contract: replay the events table through the
+    WATERMARKED streaming aggregation (``streaming/analytics.py
+    hourly_counts`` — readStream source, 2h watermark, 1h event-time
+    windows, append mode, drain-sentinel flush) and require the emitted
+    rows to equal the batch ``events_hourly`` DuckDB oracle exactly.
+    This pins the bounded-replay == batch contract of the streaming
+    surface at value level, including the tz-free NTZ<->instant
+    conversions (window boundaries must land on the naive hour in ANY
+    session timezone)."""
+    from .streaming.analytics import (
+        cleanup_dirs,
+        hourly_backfill,
+        scratch_dirs,
+    )
+
+    src, sink, ckpt = scratch_dirs("lms_streamh")
+    try:
+        spark.read.parquet(f"{sf_dir}/events.parquet").write.mode(
+            "overwrite"
+        ).parquet(src + "/batch0")
+        out = hourly_backfill(spark, src, sink, ckpt).orderBy(
+            "hour", "event_type"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        cleanup_dirs(src, sink, ckpt)
+
+
+def _stream_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-analytics contract: replay the events table through the
+    CUSTOM STATEFUL operator (``streaming/analytics.py sessionize`` —
+    ``applyInPandasWithState``, per-user buffered state, event-time
+    timeouts, drain-sentinel flush) and require the emitted sessions to
+    equal the batch ``events_sessionize`` DuckDB oracle exactly: same
+    per-user session split, same monotone ``session_idx`` numbering,
+    same durations and rounded sums."""
+    from .streaming.analytics import (
+        cleanup_dirs,
+        scratch_dirs,
+        sessionize_backfill,
+    )
+
+    src, sink, ckpt = scratch_dirs("lms_streams")
+    try:
+        spark.read.parquet(f"{sf_dir}/events.parquet").write.mode(
+            "overwrite"
+        ).parquet(src + "/batch0")
+        out = sessionize_backfill(spark, src, sink, ckpt).orderBy(
+            "user_id", "session_idx"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        cleanup_dirs(src, sink, ckpt)
+
+
 def make_spark_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
     if name == "bmw_topk":
         return _bmw_topk_query
@@ -4460,6 +4518,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["model_roundtrip"] = _model_roundtrip_query
     out["fewshot_roundtrip"] = _fewshot_roundtrip_query
     out["perm_map"] = _perm_map_query
+    out["stream_hourly"] = _stream_hourly_query
+    out["stream_sessionize"] = _stream_sessionize_query
     return out
 
 
@@ -4559,4 +4619,9 @@ def duckdb_oracles() -> dict[str, str]:
     out["fewshot_roundtrip"] = build_sql("fewshot_roundtrip", "duckdb")
     # the S13 permutation-map sink vs the dual-ranked string twin
     out["perm_map"] = build_sql("perm_map", "duckdb")
+    # the streaming surface: a bounded replay through the watermarked
+    # window agg / the applyInPandasWithState sessionizer must equal
+    # the batch events oracles exactly (streaming/analytics.py)
+    out["stream_hourly"] = build_sql("events_hourly", "duckdb")
+    out["stream_sessionize"] = build_sql("events_sessionize", "duckdb")
     return out

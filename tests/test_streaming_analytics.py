@@ -1,0 +1,280 @@
+"""Streaming analytics (streaming/analytics.py): the watermarked hourly
+aggregation and the applyInPandasWithState gap-sessionizer.
+
+Contract under test: a bounded replay through the streaming operators
+equals the batch engine on the same accepted input — including sessions
+and windows that span micro-batch boundaries — and the watermark drops
+late data with the documented semantics. The sf0.01 value-level oracle
+rows (``stream_hourly`` / ``stream_sessionize`` vs DuckDB) live in
+test_entry_contract.py; this module pins the *streaming-only* behaviors
+those single-replay rows cannot see."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_msmarco_spark.streaming.analytics import (
+    EVENTS_SCHEMA,
+    cleanup_dirs,
+    hourly_backfill,
+    scratch_dirs,
+    sessionize_backfill,
+    split_sessions,
+)
+
+SF = "/root/testdata/sf0.001"
+T0 = dt.datetime(2024, 3, 15, 0, 0, 0)
+
+
+def _mk_events(spark, rows):
+    """rows: (event_id, minutes_from_T0, user_id, event_type, value)"""
+    data = [
+        (eid, T0 + dt.timedelta(minutes=m), uid, et, v, "")
+        for (eid, m, uid, et, v) in rows
+    ]
+    return spark.createDataFrame(data, EVENTS_SCHEMA)
+
+
+def _batch_hourly(ev):
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def _batch_sessionize(spark, ev):
+    ev.createOrReplaceTempView("t_events_sess")
+    return spark.sql("""
+WITH e AS (
+  SELECT user_id, event_id, value, unix_timestamp(ts) AS es
+  FROM t_events_sess
+),
+gaps AS (
+  SELECT user_id, event_id, value, es,
+         CASE WHEN es - LAG(es) OVER (
+           PARTITION BY user_id ORDER BY es, event_id) > 1800
+           OR LAG(es) OVER (
+           PARTITION BY user_id ORDER BY es, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_sess
+  FROM e
+),
+sess AS (
+  SELECT user_id, event_id, value, es,
+         SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY es, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM gaps
+)
+SELECT user_id, CAST(session_idx AS INT) AS session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(es) - MIN(es) AS BIGINT) AS duration_sec,
+       round(SUM(value), 4) AS sum_value
+FROM sess GROUP BY user_id, session_idx
+""")
+
+
+def _same_rows(a, b):
+    return (
+        a.exceptAll(b).count() == 0
+        and b.exceptAll(a).count() == 0
+        and a.count() == b.count()
+    )
+
+
+# ---------------------------------------------------------------------------
+# pure kernel
+# ---------------------------------------------------------------------------
+
+
+def test_split_sessions_kernel():
+    gap = 1800
+    assert split_sessions([], gap) == []
+    assert split_sessions([5], gap) == [(0, 1)]
+    # an exactly-gap spacing JOINS (batch rule: diff > gap splits)
+    assert split_sessions([0, 1800, 3600], gap) == [(0, 3)]
+    assert split_sessions([0, 1801], gap) == [(0, 1), (1, 2)]
+    assert split_sessions([0, 600, 2400, 9000, 9100], gap) == [
+        (0, 3),
+        (3, 5),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# hourly windowed aggregation
+# ---------------------------------------------------------------------------
+
+
+def test_hourly_backfill_equals_batch(spark, tmp_path):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    src, sink, ckpt = scratch_dirs("lmst_h1")
+    try:
+        ev.write.mode("overwrite").parquet(src + "/batch0")
+        got = hourly_backfill(spark, src, sink, ckpt)
+        want = _batch_hourly(ev)
+        assert want.count() > 100
+        assert _same_rows(
+            got.select("hour", "event_type", "n", "avg_value", "sum_value"),
+            want,
+        )
+    finally:
+        cleanup_dirs(src, sink, ckpt)
+
+
+def test_hourly_cross_batch_late_drop(spark):
+    """Two sequential replays over one checkpoint: the second batch's
+    too-late event (older than max_seen - watermark) is dropped, the
+    in-horizon event lands in its window, and everything else matches
+    the batch aggregation over the accepted rows."""
+    src, sink, ckpt = scratch_dirs("lmst_h2")
+    try:
+        # batch 1: steady traffic minutes 0..300 (max ts = 05:00)
+        a = _mk_events(
+            spark,
+            [(i, m, 1, "click", 1.0) for i, m in enumerate(range(0, 301, 30))],
+        )
+        a.write.mode("overwrite").parquet(src + "/b0")
+        hourly_backfill(spark, src, sink, ckpt, drain=False)
+        # watermark is now 05:00 - 2h = 03:00. batch 2: one event at
+        # 00:30 (window closed — dropped), one at 03:30 (inside the
+        # horizon — accepted), one new max at 06:00
+        b = _mk_events(
+            spark,
+            [(100, 30, 1, "late", 5.0), (101, 210, 1, "click", 1.0),
+             (102, 360, 1, "click", 1.0)],
+        )
+        b.write.mode("overwrite").parquet(src + "/b1")
+        got = hourly_backfill(spark, src, sink, ckpt, drain=True)
+
+        accepted = a.unionByName(b.filter(F.col("event_id") != 100))
+        want = _batch_hourly(accepted)
+        assert _same_rows(
+            got.select("hour", "event_type", "n", "avg_value", "sum_value"),
+            want,
+        )
+        # the late event's type never appears
+        assert got.filter(F.col("event_type") == "late").count() == 0
+        # the 03:00 window holds BOTH its batch-1 rows and the late-but-
+        # in-horizon batch-2 row (06:00 arrived in the same micro-batch,
+        # so the 03:00 window was still open when 03:30 landed)
+        h3 = got.filter(
+            F.col("hour") == dt.datetime(2024, 3, 15, 3, 0, 0)
+        ).collect()
+        assert len(h3) == 1 and h3[0].n == 3
+    finally:
+        cleanup_dirs(src, sink, ckpt)
+
+
+def test_hourly_tz_invariance(spark):
+    """Window boundaries land on the naive hour even under a
+    fractional-offset session timezone (the NTZ<->instant conversions
+    are epoch arithmetic, never a tz-interpreting cast)."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    src, sink, ckpt = scratch_dirs("lmst_h3")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
+        ev = _mk_events(
+            spark,
+            [(1, 10, 1, "a", 1.0), (2, 50, 1, "a", 2.0),
+             (3, 70, 1, "b", 3.0)],
+        )
+        ev.write.mode("overwrite").parquet(src + "/b0")
+        got = hourly_backfill(spark, src, sink, ckpt)
+        # identical to the batch date_trunc aggregation under the same
+        # session zone...
+        assert _same_rows(
+            got.select("hour", "event_type", "n", "avg_value", "sum_value"),
+            _batch_hourly(ev),
+        )
+        # ...and the boundaries sit on the NAIVE hour: rendered in the
+        # (+05:45) session zone, every window start is :00:00 — a
+        # UTC-aligned window would land on :15:00 here
+        walls = {
+            r.wall
+            for r in got.select(
+                F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("wall")
+            ).collect()
+        }
+        assert walls == {"2024-03-15 00:00:00", "2024-03-15 01:00:00"}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+        cleanup_dirs(src, sink, ckpt)
+
+
+# ---------------------------------------------------------------------------
+# stateful sessionizer
+# ---------------------------------------------------------------------------
+
+
+def test_sessionize_backfill_equals_batch(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    src, sink, ckpt = scratch_dirs("lmst_s1")
+    try:
+        ev.write.mode("overwrite").parquet(src + "/batch0")
+        got = sessionize_backfill(spark, src, sink, ckpt)
+        want = _batch_sessionize(spark, ev)
+        assert want.count() > 500
+        assert _same_rows(got, want)
+    finally:
+        cleanup_dirs(src, sink, ckpt)
+
+
+def test_sessionize_cross_batch_merge(spark):
+    """A session split across two micro-batches merges through the
+    state buffer; the trailing session flushes via event-time timeout
+    on the drain pass."""
+    src, sink, ckpt = scratch_dirs("lmst_s2")
+    try:
+        a = _mk_events(spark, [(1, 0, 7, "a", 1.0), (2, 10, 7, "a", 1.0)])
+        a.write.mode("overwrite").parquet(src + "/b0")
+        got1 = sessionize_backfill(spark, src, sink, ckpt, drain=False)
+        # watermark hasn't passed anything: no session may emit yet
+        assert got1.count() == 0
+        # batch 2 continues the same session (20' after its last event)
+        # and opens a second one 2h later
+        b = _mk_events(spark, [(3, 30, 7, "a", 1.0), (4, 150, 7, "a", 9.0)])
+        b.write.mode("overwrite").parquet(src + "/b1")
+        got = sessionize_backfill(spark, src, sink, ckpt, drain=True)
+        rows = sorted(
+            (r.session_idx, r.n_events, r.duration_sec, r.sum_value)
+            for r in got.filter(F.col("user_id") == 7).collect()
+        )
+        assert rows == [(1, 3, 1800, 3.0), (2, 1, 0, 9.0)]
+        # and the full result equals the batch twin over the union
+        want = _batch_sessionize(spark, a.unionByName(b))
+        assert _same_rows(got, want)
+    finally:
+        cleanup_dirs(src, sink, ckpt)
+
+
+def test_sessionize_late_event_dropped(spark):
+    """An event older than the watermark is discarded by the stateful
+    operator (its session may already have been emitted), mirroring the
+    streaming-aggregation late-data policy."""
+    src, sink, ckpt = scratch_dirs("lmst_s3")
+    try:
+        # one long-gone session, then traffic that pushes the
+        # watermark (2h delay) far past it
+        a = _mk_events(
+            spark,
+            [(1, 0, 9, "a", 1.0), (2, 600, 9, "a", 1.0)],
+        )
+        a.write.mode("overwrite").parquet(src + "/b0")
+        sessionize_backfill(spark, src, sink, ckpt, drain=False)
+        # watermark = 10:00 - 2h = 08:00. A late event at minute 5
+        # would have JOINED session 1 in batch semantics; streaming
+        # must drop it, leaving session 1 as emitted
+        b = _mk_events(spark, [(3, 5, 9, "late", 1.0)])
+        b.write.mode("overwrite").parquet(src + "/b1")
+        got = sessionize_backfill(spark, src, sink, ckpt, drain=True)
+        rows = sorted(
+            (r.session_idx, r.n_events) for r in got.collect()
+        )
+        assert rows == [(1, 1), (2, 1)]
+    finally:
+        cleanup_dirs(src, sink, ckpt)
