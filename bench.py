@@ -346,11 +346,38 @@ def run_bench(master: str, input_path: str | None = None,
             q(spark, SF_DIR).count()
             timings[name] = round(time.time() - t0, 3)
 
+        # streaming surface: the applyInPandasWithState sessionizer over
+        # the sf events table as a bounded backfill (readStream ->
+        # stateful op -> parquet sink, availableNow + drain). The time
+        # includes BOTH streaming query startups and the state-store
+        # lifecycle — the honest cost of the streaming path end to end.
+        from lucene_msmarco_spark.streaming.analytics import (
+            cleanup_dirs,
+            scratch_dirs,
+            sessionize_backfill,
+        )
+
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        n_ev = ev.count()
+        src, sink, ckpt = scratch_dirs("lms_bench_stream")
+        try:
+            ev.write.mode("overwrite").parquet(src + "/b0")
+            t0 = time.time()
+            sessionize_backfill(spark, src, sink, ckpt).count()
+            stream_sec = time.time() - t0
+            timings["stream_sessionize"] = round(stream_sec, 3)
+        finally:
+            cleanup_dirs(src, sink, ckpt)
+
     n_q = N_BENCH_QUERIES if with_sf_queries else N_SCALING_QUERIES
     throughput = _bench_engine(
         spark, input_path, n_q, timings, with_bmw=with_sf_queries,
         timed_reps=int(os.environ.get("LMS_TIMED_REPS", "1")),
     )
+    if with_sf_queries and "stream_sessionize" in timings:
+        throughput["stream_events_per_sec"] = round(
+            n_ev / timings["stream_sessionize"], 1
+        )
 
     total = round(time.time() - t_all, 3)
     out = {
