@@ -107,17 +107,22 @@ def event_time(col: str = "ts") -> Column:
     return F.expr(f"timestamp_seconds({NTZ_EPOCH_SQL.format(c=col)})")
 
 
-def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, source_dir: str, options: dict | None = None
+) -> DataFrame:
     """``readStream`` over a directory tree of events parquet files.
 
     New files under ``source_dir`` (recursively) become micro-batches;
     the schema is pinned (a streaming file source cannot infer it).
+    ``options`` pass through to the file source (e.g.
+    ``maxFilesPerTrigger`` to bound batch size on a large backlog).
     """
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("recursiveFileLookup", "true")
-        .parquet(source_dir)
+    reader = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "recursiveFileLookup", "true"
     )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.parquet(source_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -188,10 +193,12 @@ SESSION_STATE_SCHEMA = StructType(
 
 
 def split_sessions(es: list[int], gap_sec: int) -> list[tuple[int, int]]:
-    """Pure kernel: ``[start, end)`` index ranges of the gap-delimited
-    sessions of an es-sorted event list. A gap STRICTLY greater than
-    ``gap_sec`` starts a new session (the batch SQL's
-    ``es - LAG(es) > gap`` rule; an exactly-``gap_sec`` gap joins)."""
+    """Pure kernel (reference form): ``[start, end)`` index ranges of
+    the gap-delimited sessions of an es-sorted event list. A gap
+    STRICTLY greater than ``gap_sec`` starts a new session (the batch
+    SQL's ``es - LAG(es) > gap`` rule; an exactly-``gap_sec`` gap
+    joins). The stateful operator uses the vectorized twin
+    ``split_bounds``; tests pin their equivalence."""
     bounds: list[tuple[int, int]] = []
     start = 0
     for i in range(1, len(es) + 1):
@@ -202,21 +209,57 @@ def split_sessions(es: list[int], gap_sec: int) -> list[tuple[int, int]]:
     return bounds
 
 
-def _session_row(uid, idx, es, val):
-    # round(,4) mirrors the batch row's sum rounding; duration from the
-    # same floored epochs the batch unix_timestamp produces
-    return (uid, idx, len(es), es[-1] - es[0], round(sum(val), 4))
+def split_bounds(es, gap_sec: int):
+    """Vectorized ``split_sessions``: (starts, ends) index arrays of the
+    gap-delimited sessions of an es-sorted int64 array."""
+    import numpy as np
+
+    if len(es) == 0:
+        z = np.empty(0, dtype="int64")
+        return z, z
+    starts = np.flatnonzero(
+        np.diff(es, prepend=es[0] - gap_sec - 1) > gap_sec
+    )
+    ends = np.append(starts[1:], len(es))
+    return starts, ends
 
 
 def _make_sessionize_fn(gap_sec: int):
     """Build the applyInPandasWithState function for a given gap.
 
-    The returned closure is shipped to executors via cloudpickle; it
-    only touches stdlib + pandas and the pure ``split_sessions`` kernel.
+    The returned closure is shipped to executors via cloudpickle. All
+    per-event work is numpy-vectorized over the whole Arrow batch
+    (concat, stable sort, diff-based session split, reduceat sums) —
+    Python-level iteration happens only per emitted SESSION row, never
+    per event.
     """
+    import numpy as np
     import pandas as pd  # local import: resolved on the executor too
 
     cols = SESSION_OUTPUT_SCHEMA.names
+
+    def emit(uid, first_idx, es, val, starts, ends, upto):
+        """Rows for the first ``upto`` sessions; bounds from the
+        vectorized split (starts/ends are index arrays)."""
+        if upto == 0:
+            return None
+        sums = np.add.reduceat(val, starts)[:upto]
+        return pd.DataFrame(
+            {
+                "user_id": uid,
+                "session_idx": np.arange(
+                    first_idx, first_idx + upto, dtype="int32"
+                ),
+                "n_events": (ends[:upto] - starts[:upto]).astype("int64"),
+                "duration_sec": (
+                    es[ends[:upto] - 1] - es[starts[:upto]]
+                ).astype("int64"),
+                # raw float sum: sessionize() rounds in the plan with
+                # F.round so the HALF_UP semantics match the batch twin
+                "sum_value": sums,
+            },
+            columns=cols,
+        )
 
     def fn(key, pdf_iter: Iterator, state) -> Iterator:
         uid = key[0]
@@ -225,19 +268,21 @@ def _make_sessionize_fn(gap_sec: int):
             # join ANY buffered session — flush them all, in order
             next_idx, es, eid, val = state.get
             state.remove()
-            rows = [
-                _session_row(uid, next_idx + k, es[a:b], val[a:b])
-                for k, (a, b) in enumerate(split_sessions(list(es), gap_sec))
-            ]
-            if rows:
-                yield pd.DataFrame(rows, columns=cols)
+            es = np.asarray(es, dtype="int64")
+            val = np.asarray(val, dtype="float64")
+            starts, ends = split_bounds(es, gap_sec)
+            out = emit(uid, next_idx, es, val, starts, ends, len(starts))
+            if out is not None:
+                yield out
             return
 
         if state.exists:
-            next_idx, es, eid, val = state.get
-            es, eid, val = list(es), list(eid), list(val)
+            next_idx, s_es, s_eid, s_val = state.get
+            frames = [
+                pd.DataFrame({"es": s_es, "eid": s_eid, "val": s_val})
+            ]
         else:
-            next_idx, es, eid, val = 1, [], [], []
+            next_idx, frames = 1, []
 
         # events older than the watermark are dropped (same policy a
         # streaming aggregation applies): their session may already
@@ -245,43 +290,54 @@ def _make_sessionize_fn(gap_sec: int):
         wm_ms = state.getCurrentWatermarkMs()
         wm = wm_ms // 1000
         for pdf in pdf_iter:
-            for e, i, v in zip(pdf["es"], pdf["event_id"], pdf["value"]):
-                if int(e) * 1000 >= wm_ms or wm_ms == 0:
-                    es.append(int(e))
-                    eid.append(int(i))
-                    val.append(float(v))
+            sub = pd.DataFrame(
+                {
+                    "es": pdf["es"].astype("int64"),
+                    "eid": pdf["event_id"].astype("int64"),
+                    "val": pdf["value"].astype("float64"),
+                }
+            )
+            if wm_ms > 0:
+                sub = sub[sub["es"] * 1000 >= wm_ms]
+            frames.append(sub)
 
-        order = sorted(range(len(es)), key=lambda i: (es[i], eid[i]))
-        es = [es[i] for i in order]
-        eid = [eid[i] for i in order]
-        val = [val[i] for i in order]
+        buf = (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame(columns=["es", "eid", "val"])
+        )
+        if len(buf) == 0:
+            state.remove()
+            return
+        buf = buf.sort_values(["es", "eid"], kind="mergesort")
+        es = buf["es"].to_numpy(dtype="int64")
+        eid = buf["eid"].to_numpy(dtype="int64")
+        val = buf["val"].to_numpy(dtype="float64")
 
         # finalize the prefix of sessions the watermark has closed
         # (last_es + gap < wm => any future event, which must carry
         # es >= wm, exceeds the gap and cannot join). Sessions close in
         # es-order, so the closable set is always a prefix and
         # session_idx numbering matches the batch window-SQL.
-        rows = []
-        keep_from = 0
-        for a, b in split_sessions(es, gap_sec):
-            if es[b - 1] + gap_sec < wm:
-                rows.append(_session_row(uid, next_idx, es[a:b], val[a:b]))
-                next_idx += 1
-                keep_from = b
-            else:
-                break
-        es, eid, val = es[keep_from:], eid[keep_from:], val[keep_from:]
+        starts, ends = split_bounds(es, gap_sec)
+        closable = es[ends - 1] + gap_sec < wm
+        k = len(starts) if closable.all() else int(np.argmin(closable))
+        out = emit(uid, next_idx, es, val, starts, ends, k)
 
-        if es:
-            state.update((next_idx, es, eid, val))
+        keep_from = ends[k - 1] if k else 0
+        es, eid, val = es[keep_from:], eid[keep_from:], val[keep_from:]
+        if len(es):
+            state.update(
+                (next_idx + k, es.tolist(), eid.tolist(), val.tolist())
+            )
             # flush the remainder once the watermark passes the close
             # of the LAST buffered session; +1s keeps the timestamp
             # strictly above a watermark equal to last+gap
-            state.setTimeoutTimestamp((es[-1] + gap_sec) * 1000 + 1000)
+            state.setTimeoutTimestamp((int(es[-1]) + gap_sec) * 1000 + 1000)
         else:
             state.remove()
-        if rows:
-            yield pd.DataFrame(rows, columns=cols)
+        if out is not None:
+            yield out
 
     return fn
 
@@ -312,13 +368,16 @@ def sessionize(
         )
         .withWatermark("etime", watermark)
     )
-    return prepared.groupBy("user_id").applyInPandasWithState(
+    sessions = prepared.groupBy("user_id").applyInPandasWithState(
         _make_sessionize_fn(gap_sec),
         SESSION_OUTPUT_SCHEMA,
         SESSION_STATE_SCHEMA,
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+    # round in the PLAN (Spark HALF_UP, identical to the batch twin's
+    # round(SUM(value), 4)), not in the Python kernel
+    return sessions.withColumn("sum_value", F.round("sum_value", 4))
 
 
 # ---------------------------------------------------------------------------

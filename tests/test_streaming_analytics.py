@@ -22,6 +22,7 @@ from lucene_msmarco_spark.streaming.analytics import (
     hourly_backfill,
     scratch_dirs,
     sessionize_backfill,
+    split_bounds,
     split_sessions,
 )
 
@@ -103,6 +104,24 @@ def test_split_sessions_kernel():
         (0, 3),
         (3, 5),
     ]
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_split_bounds_equals_reference(seed):
+    """The vectorized session split (what the stateful operator runs)
+    matches the reference list kernel on random sorted inputs."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(seed)
+    es = sorted(rng.randrange(0, 50_000) for _ in range(rng.randrange(0, 80)))
+    for gap in (1, 600, 1800, 50_000):
+        starts, ends = split_bounds(np.asarray(es, dtype="int64"), gap)
+        assert (
+            list(zip(starts.tolist(), ends.tolist()))
+            == split_sessions(es, gap)
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -248,6 +267,59 @@ def test_sessionize_cross_batch_merge(spark):
         # and the full result equals the batch twin over the union
         want = _batch_sessionize(spark, a.unionByName(b))
         assert _same_rows(got, want)
+    finally:
+        cleanup_dirs(src, sink, ckpt)
+
+
+def test_backfill_rerun_is_idempotent(spark):
+    """Re-running a completed backfill over the same checkpoint emits
+    nothing new: the offset log skips consumed files, the fresh drain
+    sentinel merges into the sentinel's own (filtered) state without
+    advancing the watermark, and append-mode sinks never rewrite."""
+    src, sink, ckpt = scratch_dirs("lmst_i1")
+    try:
+        ev = _mk_events(
+            spark,
+            [(i, m, i % 3, "a", 1.0) for i, m in enumerate(range(0, 240, 20))],
+        )
+        ev.write.mode("overwrite").parquet(src + "/b0")
+        first = sessionize_backfill(spark, src, sink, ckpt).collect()
+        again = sessionize_backfill(spark, src, sink, ckpt).collect()
+        assert sorted(map(tuple, again)) == sorted(map(tuple, first))
+    finally:
+        cleanup_dirs(src, sink, ckpt)
+
+
+def test_sessionize_multi_batch_single_run(spark):
+    """maxFilesPerTrigger=1 splits one availableNow run into several
+    micro-batches (files ordered oldest-mtime-first): the watermark
+    advances between them, mid-run timeouts fire, and the final result
+    still equals the batch twin."""
+    import os as _os
+    import time as _time
+
+    src, sink, ckpt = scratch_dirs("lmst_m1")
+    try:
+        a = _mk_events(spark, [(1, 0, 5, "a", 1.0), (2, 10, 5, "a", 1.0)])
+        b = _mk_events(spark, [(3, 25, 5, "a", 1.0), (4, 400, 5, "a", 2.0)])
+        a.coalesce(1).write.mode("overwrite").parquet(src + "/b0")
+        b.coalesce(1).write.mode("overwrite").parquet(src + "/b1")
+        # pin the processing order: the file source takes oldest first
+        now = _time.time()
+        for sub, age in (("b0", 100), ("b1", 50)):
+            d = _os.path.join(src, sub)
+            for f in _os.listdir(d):
+                _os.utime(_os.path.join(d, f), (now - age, now - age))
+        got = sessionize_backfill(
+            spark, src, sink, ckpt,
+            source_options={"maxFilesPerTrigger": "1"},
+        )
+        want = _batch_sessionize(spark, a.unionByName(b))
+        assert _same_rows(got, want)
+        rows = sorted(
+            (r.session_idx, r.n_events) for r in got.collect()
+        )
+        assert rows == [(1, 3), (2, 1)]
     finally:
         cleanup_dirs(src, sink, ckpt)
 
