@@ -559,6 +559,47 @@ def cmd_split(args) -> None:
     _stop(args, spark)
 
 
+def cmd_events(args) -> None:
+    """Streaming event analytics backfill over a parquet events
+    directory (``streaming/analytics.py``): ``--op hourly`` runs the
+    watermarked 1h window aggregation, ``--op sessionize`` the
+    ``applyInPandasWithState`` gap-sessionizer. The input directory is
+    read-only (the drain sentinel lives with the checkpoint); the raw
+    streaming sink also lives with the checkpoint, and ``--out``
+    receives the sentinel-free result as clean parquet.
+
+    Incremental use: re-run with the same ``--checkpoint`` as new files
+    land — consumed files are skipped by the offset log. Keep
+    ``--no-drain`` on those runs (a drain advances the watermark ~10
+    days past the data, which would late-drop every later real event);
+    drain only the final run.
+    """
+    import os
+
+    from .streaming.analytics import hourly_backfill, sessionize_backfill
+
+    spark = _spark(args)
+    ckpt = args.checkpoint or args.out.rstrip("/") + "_ckpt"
+    raw_sink = os.path.join(ckpt, "__sink__")
+    if args.op == "hourly":
+        df = hourly_backfill(
+            spark, args.input, raw_sink, ckpt,
+            watermark=args.watermark, drain=not args.no_drain,
+        )
+    else:
+        df = sessionize_backfill(
+            spark, args.input, raw_sink, ckpt,
+            gap_sec=args.gap, watermark=args.watermark,
+            drain=not args.no_drain,
+        )
+    df.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({
+        "op": args.op, "rows": n, "out": args.out, "checkpoint": ckpt,
+    }))
+    _stop(args, spark)
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="lucene_msmarco_spark")
     p.add_argument("--master", default=None)
@@ -673,6 +714,29 @@ def main(argv: list[str] | None = None) -> None:
     pt.add_argument("--weights", default="train=0.9,val=0.05,test=0.05")
     pt.add_argument("--salt", default="split")
     pt.set_defaults(fn=cmd_split)
+
+    pv = sub.add_parser(
+        "events",
+        help="streaming event-analytics backfill (watermarked hourly "
+             "windows / stateful sessionize); input dir is read-only",
+    )
+    pv.add_argument("--input", required=True,
+                    help="events parquet dir (event_id, ts, user_id, "
+                         "event_type, value, props)")
+    pv.add_argument("--out", required=True,
+                    help="clean parquet result (sentinel-free)")
+    pv.add_argument("--op", default="sessionize",
+                    choices=["hourly", "sessionize"])
+    pv.add_argument("--checkpoint", default=None,
+                    help="default <out>_ckpt; re-use to extend a "
+                         "backfill incrementally (with --no-drain)")
+    pv.add_argument("--gap", type=int, default=1800,
+                    help="sessionize gap seconds")
+    pv.add_argument("--watermark", default="2 hours")
+    pv.add_argument("--no-drain", action="store_true",
+                    help="leave tail windows/sessions in state "
+                         "(incremental runs / live-stream handoff)")
+    pv.set_defaults(fn=cmd_events)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -42,8 +42,9 @@ boundaries land on the *naive* hour exactly like the batch
 Bounded backfills: a windowed/stateful stream only emits what the
 watermark has closed, so a finite replay would hold its tail windows /
 sessions in state forever. ``run_backfill`` finishes such a replay with
-a **drain sentinel** — one far-future marker row appended to the source
-after the real data, advancing the watermark past every real event so
+a **drain sentinel** — one far-future marker row landed in a drain
+side-source (unioned into the stream; the user's input directory is
+never written to), advancing the watermark past every real event so
 the final ``availableNow`` pass flushes all remaining state; sentinel
 output rows are filtered back out. Live (unbounded) streams never need
 the sentinel — fresh events advance the watermark continuously.
@@ -385,12 +386,16 @@ def sessionize(
 # ---------------------------------------------------------------------------
 
 
-def write_drain_sentinel(spark: SparkSession, source_dir: str) -> bool:
+def write_drain_sentinel(
+    spark: SparkSession, source_dir: str, drain_dir: str
+) -> bool:
     """Append the far-future marker row that closes a bounded replay.
 
-    Lands one row ``DRAIN_HORIZON`` past the real max event time under
-    ``<source_dir>/zz__drain`` (a fresh file the stream picks up as its
-    final batch). Returns False on an empty source (nothing to drain).
+    Lands one row ``DRAIN_HORIZON`` past the real max event time of
+    ``source_dir`` as a fresh file under ``drain_dir`` — a SEPARATE
+    directory the backfill stream unions in, so the user's input
+    directory is never written to. Returns False on an empty source
+    (nothing to drain).
     """
     real = spark.read.schema(EVENTS_SCHEMA).option(
         "recursiveFileLookup", "true"
@@ -404,9 +409,7 @@ def write_drain_sentinel(spark: SparkSession, source_dir: str) -> bool:
         [(-1, mx, DRAIN_USER_ID, DRAIN_EVENT_TYPE, 0.0, "")],
         EVENTS_SCHEMA,
     ).withColumn("ts", F.col("ts") + F.expr(DRAIN_HORIZON))
-    sent.coalesce(1).write.mode("append").parquet(
-        os.path.join(source_dir, "zz__drain")
-    )
+    sent.coalesce(1).write.mode("append").parquet(drain_dir)
     return True
 
 
@@ -435,23 +438,28 @@ def run_backfill(
 ) -> DataFrame:
     """Replay a bounded event directory through a streaming transform.
 
-    Runs ``transform(read_events_stream(...))`` with
-    ``availableNow=True`` into a parquet ``sink_dir``; when ``drain``
-    is set, appends the drain sentinel and runs one more pass so the
-    watermark closes every real window/session, then filters sentinel
-    rows back out with ``drain_filter``. The checkpoint makes the whole
-    sequence restartable: re-running after a kill resumes from the
-    offset log and never duplicates an emitted row (append-mode sinks
-    are exactly-once under same-checkpoint restarts).
+    Runs ``transform`` over the union of two file sources — the (read-
+    only) ``source_dir`` and a drain directory kept inside the
+    checkpoint dir — with ``availableNow=True`` into a parquet
+    ``sink_dir``. When ``drain`` is set, the far-future sentinel lands
+    in the drain directory (never in the user's input) and one more
+    pass runs so the watermark closes every real window/session;
+    sentinel rows are filtered back out with ``drain_filter``. The
+    checkpoint makes the whole sequence restartable: re-running after a
+    kill resumes from the offset log and never duplicates an emitted
+    row (append-mode sinks are exactly-once under same-checkpoint
+    restarts).
     """
-    src = spark.readStream.schema(EVENTS_SCHEMA).option(
-        "recursiveFileLookup", "true"
-    )
-    for k, v in (source_options or {}).items():
-        src = src.option(k, v)
-    out = transform(src.parquet(source_dir))
+    # the drain source lives with the checkpoint: same lifecycle, and a
+    # re-run over the same checkpoint sees the same two-source graph
+    drain_dir = os.path.join(checkpoint_dir, "__drain_source__")
+    os.makedirs(drain_dir, exist_ok=True)
+    stream = read_events_stream(
+        spark, source_dir, options=source_options
+    ).unionByName(read_events_stream(spark, drain_dir))
+    out = transform(stream)
     _run_available_now(out, sink_dir, checkpoint_dir)
-    if drain and write_drain_sentinel(spark, source_dir):
+    if drain and write_drain_sentinel(spark, source_dir, drain_dir):
         _run_available_now(out, sink_dir, checkpoint_dir)
     try:
         result = spark.read.schema(out.schema).parquet(sink_dir)

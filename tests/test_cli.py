@@ -552,3 +552,98 @@ def test_ivf_manifest_tolerates_torn_tail(spark, tmp_path):
     assert meta["generation"] == 0 and meta["quality"] == 0.5
     entry = save_ivf_model(spark, np.eye(4, 8), path)
     assert entry["generation"] == 1
+
+
+def test_cli_events_backfill(tmp_path, capsys, spark):
+    """events subcommand: both ops produce sentinel-free parquet equal
+    to the batch twins, the input dir stays untouched, and an
+    incremental --no-drain run + a later drained run over the same
+    checkpoint picks up only the new files."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from lucene_msmarco_spark.streaming.analytics import EVENTS_SCHEMA
+
+    t0 = dt.datetime(2024, 3, 15, 0, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (eid, t0 + dt.timedelta(minutes=m), uid, et, v, "")
+                for (eid, m, uid, et, v) in rows
+            ],
+            EVENTS_SCHEMA,
+        )
+
+    src = str(tmp_path / "events_src")
+    a = mk([(i, m, i % 2, "a", 1.0) for i, m in enumerate(range(0, 180, 15))])
+    a.coalesce(1).write.mode("overwrite").parquet(src + "/b0")
+    listing = lambda: {  # noqa: E731
+        os.path.join(r, f) for r, _, fs in os.walk(src) for f in fs
+    }
+    before = listing()
+
+    # hourly op, full drain
+    out_h = str(tmp_path / "hourly_out")
+    main(["events", "--input", src, "--out", out_h, "--op", "hourly"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    got = spark.read.parquet(out_h)
+    want = a.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    assert rep["rows"] == want.count() == got.count()
+    assert got.select(*want.columns).exceptAll(want).count() == 0
+    assert listing() == before
+
+    # sessionize: incremental no-drain run, new file lands, drained run
+    out_s = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    main(["events", "--input", src, "--out", out_s, "--op", "sessionize",
+          "--checkpoint", ckpt, "--no-drain"])
+    capsys.readouterr()
+    b = mk([(100, 200, 0, "a", 2.0), (101, 500, 1, "a", 3.0)])
+    b.coalesce(1).write.mode("overwrite").parquet(src + "/b1")
+    before = listing()  # b1 is OUR new data; the CLI must add nothing
+    main(["events", "--input", src, "--out", out_s, "--op", "sessionize",
+          "--checkpoint", ckpt])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    got = spark.read.parquet(out_s)
+    assert rep["rows"] == got.count()
+    # equals the batch window-SQL over the full input
+    all_ev = a.unionByName(b)
+    all_ev.createOrReplaceTempView("cli_events")
+    want = spark.sql("""
+WITH e AS (
+  SELECT user_id, event_id, value, unix_timestamp(ts) AS es
+  FROM cli_events
+),
+gaps AS (
+  SELECT user_id, event_id, value, es,
+         CASE WHEN es - LAG(es) OVER (
+           PARTITION BY user_id ORDER BY es, event_id) > 1800
+           OR LAG(es) OVER (
+           PARTITION BY user_id ORDER BY es, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_sess
+  FROM e
+),
+sess AS (
+  SELECT user_id, event_id, value, es,
+         SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY es, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM gaps
+)
+SELECT user_id, CAST(session_idx AS INT) AS session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(es) - MIN(es) AS BIGINT) AS duration_sec,
+       round(SUM(value), 4) AS sum_value
+FROM sess GROUP BY user_id, session_idx
+""")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert listing() == before

@@ -276,6 +276,8 @@ def test_backfill_rerun_is_idempotent(spark):
     nothing new: the offset log skips consumed files, the fresh drain
     sentinel merges into the sentinel's own (filtered) state without
     advancing the watermark, and append-mode sinks never rewrite."""
+    import os as _os
+
     src, sink, ckpt = scratch_dirs("lmst_i1")
     try:
         ev = _mk_events(
@@ -283,9 +285,22 @@ def test_backfill_rerun_is_idempotent(spark):
             [(i, m, i % 3, "a", 1.0) for i, m in enumerate(range(0, 240, 20))],
         )
         ev.write.mode("overwrite").parquet(src + "/b0")
+        before = {
+            _os.path.join(r, f)
+            for r, _, fs in _os.walk(src)
+            for f in fs
+        }
         first = sessionize_backfill(spark, src, sink, ckpt).collect()
         again = sessionize_backfill(spark, src, sink, ckpt).collect()
         assert sorted(map(tuple, again)) == sorted(map(tuple, first))
+        # the drain sentinel lands in the checkpoint's drain source,
+        # NEVER in the user's input directory
+        after = {
+            _os.path.join(r, f)
+            for r, _, fs in _os.walk(src)
+            for f in fs
+        }
+        assert after == before
     finally:
         cleanup_dirs(src, sink, ckpt)
 
