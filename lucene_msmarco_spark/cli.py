@@ -578,8 +578,23 @@ def cmd_events(args) -> None:
 
     from .streaming.analytics import hourly_backfill, sessionize_backfill
 
-    spark = _spark(args)
     ckpt = args.checkpoint or args.out.rstrip("/") + "_ckpt"
+    drain_src = os.path.join(ckpt, "__drain_source__")
+    already_drained = os.path.isdir(drain_src) and any(
+        not f.startswith(("_", ".")) for f in os.listdir(drain_src)
+    )
+    if already_drained and not args.resume_drain:
+        # a drained checkpoint's watermark sits ~horizon past the old
+        # data: a re-run would silently late-drop every newly-landed
+        # event. Refuse instead of losing data quietly.
+        raise SystemExit(
+            f"checkpoint {ckpt} was already drained — a drained "
+            "backfill is final. Use a fresh --checkpoint/--out for new "
+            "data (run incremental passes with --no-drain and drain "
+            "only the last one), or pass --resume-drain ONLY to finish "
+            "a drain pass that was killed mid-run."
+        )
+    spark = _spark(args)
     raw_sink = os.path.join(ckpt, "__sink__")
     if args.op == "hourly":
         df = hourly_backfill(
@@ -736,6 +751,10 @@ def main(argv: list[str] | None = None) -> None:
     pv.add_argument("--no-drain", action="store_true",
                     help="leave tail windows/sessions in state "
                          "(incremental runs / live-stream handoff)")
+    pv.add_argument("--resume-drain", action="store_true",
+                    help="finish a drain pass that was killed mid-run "
+                         "(a drained checkpoint otherwise refuses "
+                         "re-runs — they would late-drop new data)")
     pv.set_defaults(fn=cmd_events)
 
     args = p.parse_args(argv)

@@ -3043,6 +3043,8 @@ def _stream_hourly_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface at value level, including the tz-free NTZ<->instant
     conversions (window boundaries must land on the naive hour in ANY
     session timezone)."""
+    from pyspark.sql import functions as F
+
     from .streaming.analytics import (
         cleanup_dirs,
         hourly_backfill,
@@ -3054,8 +3056,14 @@ def _stream_hourly_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/events.parquet").write.mode(
             "overwrite"
         ).parquet(src + "/batch0")
-        out = hourly_backfill(spark, src, sink, ckpt).orderBy(
-            "hour", "event_type"
+        out = (
+            hourly_backfill(spark, src, sink, ckpt)
+            # the operator's persisted output is TIMESTAMP_NTZ
+            # (timezone-free by design); the batch oracle's
+            # date_trunc('hour', ts) renders as TIMESTAMP, so align
+            # the type here exactly like the events_hourly row does
+            .withColumn("hour", F.col("hour").cast("timestamp"))
+            .orderBy("hour", "event_type")
         )
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)

@@ -97,9 +97,22 @@ EPOCH_NTZ_SQL = (
 #: key alone; event_type is marked for the aggregation outputs.
 DRAIN_USER_ID = -1
 DRAIN_EVENT_TYPE = "__drain__"
-#: how far past the real max event time the sentinel lands. Must exceed
-#: watermark delay + window/gap so every real window and session closes.
-DRAIN_HORIZON = "INTERVAL 240 HOURS"
+#: safety margin added to the computed drain horizon (watermark delay +
+#: window/gap) so boundary arithmetic can never leave the last
+#: window/session unflushed
+DRAIN_MARGIN_SEC = 86_400
+
+
+def interval_seconds(spark: SparkSession, interval: str) -> int:
+    """Length of a Spark interval string (e.g. ``"2 hours"``) in
+    seconds — used to size the drain horizon from the actual watermark
+    instead of a fixed constant."""
+    return int(
+        spark.sql(
+            "SELECT unix_seconds(timestamp'1970-01-01 00:00:00Z' "
+            f"+ INTERVAL {interval})"
+        ).collect()[0][0]
+    )
 
 
 def event_time(col: str = "ts") -> Column:
@@ -156,8 +169,10 @@ def hourly_counts(
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
         .select(
+            # TIMESTAMP_NTZ, same as the source ts: the persisted
+            # output stays timezone-free (wall-clock hours) no matter
+            # which session zone wrote or reads it
             F.expr(EPOCH_NTZ_SQL.format(e="unix_seconds(w.start)"))
-            .cast("timestamp")
             .alias("hour"),
             "event_type",
             "n",
@@ -266,12 +281,18 @@ def _make_sessionize_fn(gap_sec: int):
         uid = key[0]
         if state.hasTimedOut:
             # watermark passed last_es + gap (+1s): no future event can
-            # join ANY buffered session — flush them all, in order
+            # join ANY buffered session — flush them all, in order.
+            # The state does NOT vanish: the per-user counter survives
+            # (events arriving after a full flush continue the batch
+            # numbering at k+1, never restart at 1). The residual state
+            # is counter-only — two ints and three empty arrays per
+            # ever-seen user — the price of the batch-identical
+            # session_idx contract on an unbounded stream.
             next_idx, es, eid, val = state.get
-            state.remove()
             es = np.asarray(es, dtype="int64")
             val = np.asarray(val, dtype="float64")
             starts, ends = split_bounds(es, gap_sec)
+            state.update((next_idx + len(starts), [], [], []))
             out = emit(uid, next_idx, es, val, starts, ends, len(starts))
             if out is not None:
                 yield out
@@ -308,7 +329,8 @@ def _make_sessionize_fn(gap_sec: int):
             else pd.DataFrame(columns=["es", "eid", "val"])
         )
         if len(buf) == 0:
-            state.remove()
+            if state.exists:  # keep the session counter (see above)
+                state.update((next_idx, [], [], []))
             return
         buf = buf.sort_values(["es", "eid"], kind="mergesort")
         es = buf["es"].to_numpy(dtype="int64")
@@ -327,16 +349,15 @@ def _make_sessionize_fn(gap_sec: int):
 
         keep_from = ends[k - 1] if k else 0
         es, eid, val = es[keep_from:], eid[keep_from:], val[keep_from:]
+        state.update(
+            (next_idx + k, es.tolist(), eid.tolist(), val.tolist())
+        )
         if len(es):
-            state.update(
-                (next_idx + k, es.tolist(), eid.tolist(), val.tolist())
-            )
             # flush the remainder once the watermark passes the close
             # of the LAST buffered session; +1s keeps the timestamp
             # strictly above a watermark equal to last+gap
             state.setTimeoutTimestamp((int(es[-1]) + gap_sec) * 1000 + 1000)
-        else:
-            state.remove()
+        # an empty buffer keeps counter-only state (numbering contract)
         if out is not None:
             yield out
 
@@ -387,28 +408,43 @@ def sessionize(
 
 
 def write_drain_sentinel(
-    spark: SparkSession, source_dir: str, drain_dir: str
+    spark: SparkSession,
+    source_dir: str,
+    drain_dir: str,
+    horizon_sec: int,
 ) -> bool:
     """Append the far-future marker row that closes a bounded replay.
 
-    Lands one row ``DRAIN_HORIZON`` past the real max event time of
+    Lands one row ``horizon_sec`` past the real max event time of
     ``source_dir`` as a fresh file under ``drain_dir`` — a SEPARATE
     directory the backfill stream unions in, so the user's input
-    directory is never written to. Returns False on an empty source
-    (nothing to drain).
+    directory is never written to. The caller sizes ``horizon_sec``
+    from its actual watermark delay + window/gap (plus
+    ``DRAIN_MARGIN_SEC``), so exotic parameters can never leave tail
+    state unflushed. Returns False on an empty source.
+
+    The max(ts) read answers from parquet footer statistics where the
+    reader supports aggregate pushdown (no second full data scan of the
+    backfill input); the conf is restored afterwards.
     """
-    real = spark.read.schema(EVENTS_SCHEMA).option(
-        "recursiveFileLookup", "true"
-    ).parquet(source_dir)
-    mx = real.filter(F.col("user_id") != DRAIN_USER_ID).agg(
-        F.max("ts")
-    ).collect()[0][0]
+    prev = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    try:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        real = spark.read.schema(EVENTS_SCHEMA).option(
+            "recursiveFileLookup", "true"
+        ).parquet(source_dir)
+        mx = real.agg(F.max("ts")).collect()[0][0]
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", prev)
     if mx is None:
         return False
     sent = spark.createDataFrame(
         [(-1, mx, DRAIN_USER_ID, DRAIN_EVENT_TYPE, 0.0, "")],
         EVENTS_SCHEMA,
-    ).withColumn("ts", F.col("ts") + F.expr(DRAIN_HORIZON))
+    ).withColumn(
+        "ts",
+        F.expr(f"ts + make_dt_interval(0, 0, 0, {int(horizon_sec)})"),
+    )
     sent.coalesce(1).write.mode("append").parquet(drain_dir)
     return True
 
@@ -435,6 +471,7 @@ def run_backfill(
     drain_filter: Column | None = None,
     drain: bool = True,
     source_options: dict | None = None,
+    horizon_sec: int = DRAIN_MARGIN_SEC,
 ) -> DataFrame:
     """Replay a bounded event directory through a streaming transform.
 
@@ -459,12 +496,18 @@ def run_backfill(
     ).unionByName(read_events_stream(spark, drain_dir))
     out = transform(stream)
     _run_available_now(out, sink_dir, checkpoint_dir)
-    if drain and write_drain_sentinel(spark, source_dir, drain_dir):
+    if drain and write_drain_sentinel(
+        spark, source_dir, drain_dir, horizon_sec
+    ):
         _run_available_now(out, sink_dir, checkpoint_dir)
-    try:
-        result = spark.read.schema(out.schema).parquet(sink_dir)
-    except Exception:  # sink never received a row: empty result
+    if not any(
+        not f.startswith(("_", "."))
+        for _, _, fs in os.walk(sink_dir)
+        for f in fs
+    ):  # sink never received a row: empty result (a real read error
+        # below must surface, not be swallowed into "no rows")
         return spark.createDataFrame([], out.schema)
+    result = spark.read.schema(out.schema).parquet(sink_dir)
     if drain_filter is not None:
         result = result.filter(drain_filter)
     return result
@@ -490,6 +533,10 @@ def hourly_backfill(
         drain_filter=F.col("event_type") != DRAIN_EVENT_TYPE,
         drain=drain,
         source_options=source_options,
+        # sentinel must clear watermark delay + the 1h window
+        horizon_sec=interval_seconds(spark, watermark)
+        + 3600
+        + DRAIN_MARGIN_SEC,
     )
 
 
@@ -514,6 +561,11 @@ def sessionize_backfill(
         drain_filter=F.col("user_id") != DRAIN_USER_ID,
         drain=drain,
         source_options=source_options,
+        # sentinel must clear watermark delay + the session gap (+1s
+        # timeout slack, absorbed by the margin)
+        horizon_sec=interval_seconds(spark, watermark)
+        + gap_sec
+        + DRAIN_MARGIN_SEC,
     )
 
 

@@ -614,36 +614,19 @@ def test_cli_events_backfill(tmp_path, capsys, spark):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     got = spark.read.parquet(out_s)
     assert rep["rows"] == got.count()
-    # equals the batch window-SQL over the full input
-    all_ev = a.unionByName(b)
-    all_ev.createOrReplaceTempView("cli_events")
-    want = spark.sql("""
-WITH e AS (
-  SELECT user_id, event_id, value, unix_timestamp(ts) AS es
-  FROM cli_events
-),
-gaps AS (
-  SELECT user_id, event_id, value, es,
-         CASE WHEN es - LAG(es) OVER (
-           PARTITION BY user_id ORDER BY es, event_id) > 1800
-           OR LAG(es) OVER (
-           PARTITION BY user_id ORDER BY es, event_id) IS NULL
-         THEN 1 ELSE 0 END AS new_sess
-  FROM e
-),
-sess AS (
-  SELECT user_id, event_id, value, es,
-         SUM(new_sess) OVER (
-           PARTITION BY user_id ORDER BY es, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
-  FROM gaps
-)
-SELECT user_id, CAST(session_idx AS INT) AS session_idx,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(MAX(es) - MIN(es) AS BIGINT) AS duration_sec,
-       round(SUM(value), 4) AS sum_value
-FROM sess GROUP BY user_id, session_idx
-""")
+    # equals the batch oracle SQL (rendered from the same dialect
+    # template as the contract row -- no hand-copied twin) over the
+    # full input
+    from lucene_msmarco_spark.entry_queries import build_sql
+
+    a.unionByName(b).createOrReplaceTempView("events")
+    want = spark.sql(build_sql("events_sessionize", "spark"))
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
     assert listing() == before
+
+    # a drained checkpoint refuses further runs (they would silently
+    # late-drop any newly-landed events) unless --resume-drain
+    with pytest.raises(SystemExit, match="already drained"):
+        main(["events", "--input", src, "--out", out_s,
+              "--op", "sessionize", "--checkpoint", ckpt])

@@ -50,34 +50,13 @@ def _batch_hourly(ev):
 
 
 def _batch_sessionize(spark, ev):
-    ev.createOrReplaceTempView("t_events_sess")
-    return spark.sql("""
-WITH e AS (
-  SELECT user_id, event_id, value, unix_timestamp(ts) AS es
-  FROM t_events_sess
-),
-gaps AS (
-  SELECT user_id, event_id, value, es,
-         CASE WHEN es - LAG(es) OVER (
-           PARTITION BY user_id ORDER BY es, event_id) > 1800
-           OR LAG(es) OVER (
-           PARTITION BY user_id ORDER BY es, event_id) IS NULL
-         THEN 1 ELSE 0 END AS new_sess
-  FROM e
-),
-sess AS (
-  SELECT user_id, event_id, value, es,
-         SUM(new_sess) OVER (
-           PARTITION BY user_id ORDER BY es, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
-  FROM gaps
-)
-SELECT user_id, CAST(session_idx AS INT) AS session_idx,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(MAX(es) - MIN(es) AS BIGINT) AS duration_sec,
-       round(SUM(value), 4) AS sum_value
-FROM sess GROUP BY user_id, session_idx
-""")
+    """The events_sessionize oracle SQL (rendered from the SAME dialect
+    template as the engine's contract row — no hand-copied twin that
+    could drift) over an arbitrary events frame."""
+    from lucene_msmarco_spark.entry_queries import build_sql
+
+    ev.createOrReplaceTempView("events")
+    return spark.sql(build_sql("events_sessionize", "spark"))
 
 
 def _same_rows(a, b):
@@ -335,6 +314,60 @@ def test_sessionize_multi_batch_single_run(spark):
             (r.session_idx, r.n_events) for r in got.collect()
         )
         assert rows == [(1, 3), (2, 1)]
+    finally:
+        cleanup_dirs(src, sink, ckpt)
+
+
+def test_session_numbering_survives_flush(spark):
+    """After a full state flush (event-time timeout emitted every
+    buffered session), a RETURNING user's next session continues the
+    batch numbering (k+1) instead of restarting at 1 — the residual
+    counter-only state preserves the (user_id, session_idx) key
+    contract."""
+    src, sink, ckpt = scratch_dirs("lmst_n1")
+    try:
+        # batch 1: user 7's first session
+        a = _mk_events(spark, [(1, 0, 7, "a", 1.0), (2, 5, 7, "a", 1.0)])
+        a.write.mode("overwrite").parquet(src + "/b0")
+        sessionize_backfill(spark, src, sink, ckpt, drain=False)
+        # batch 2: OTHER user's traffic 9h later pushes the watermark
+        # past user 7's last+gap -> user 7's timeout fires (full flush)
+        b = _mk_events(spark, [(3, 540, 8, "a", 1.0)])
+        b.write.mode("overwrite").parquet(src + "/b1")
+        sessionize_backfill(spark, src, sink, ckpt, drain=False)
+        # batch 3: user 7 returns (inside the watermark horizon)
+        c = _mk_events(spark, [(4, 545, 7, "a", 5.0)])
+        c.write.mode("overwrite").parquet(src + "/b2")
+        got = sessionize_backfill(spark, src, sink, ckpt, drain=True)
+        seven = sorted(
+            (r.session_idx, r.n_events, r.sum_value)
+            for r in got.filter(F.col("user_id") == 7).collect()
+        )
+        assert seven == [(1, 2, 2.0), (2, 1, 5.0)]
+        # and the whole result still equals the batch twin
+        want = _batch_sessionize(spark, a.unionByName(b).unionByName(c))
+        assert _same_rows(got, want)
+    finally:
+        cleanup_dirs(src, sink, ckpt)
+
+
+def test_drain_horizon_scales_with_gap(spark):
+    """The drain sentinel is sized from watermark + gap, so a gap far
+    larger than any fixed horizon still flushes the tail session."""
+    src, sink, ckpt = scratch_dirs("lmst_g1")
+    try:
+        month = 30 * 86_400
+        ev = _mk_events(
+            spark,
+            [(1, 0, 3, "a", 1.0), (2, 40 * 1440, 3, "a", 2.0)],
+        )
+        ev.write.mode("overwrite").parquet(src + "/b0")
+        got = sessionize_backfill(spark, src, sink, ckpt, gap_sec=month)
+        rows = sorted(
+            (r.session_idx, r.n_events) for r in got.collect()
+        )
+        # 40 days apart > 30-day gap: two sessions, BOTH flushed
+        assert rows == [(1, 1), (2, 1)]
     finally:
         cleanup_dirs(src, sink, ckpt)
 
